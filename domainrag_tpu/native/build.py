@@ -1,0 +1,107 @@
+"""Lazy g++ build + ctypes binding for the native host components.
+
+No pybind11 in this image, so the C++ side exposes a plain C ABI and we
+bind with ctypes. The shared library is built on first use into the package
+directory (cached by source mtime).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import shutil
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["topk.cpp", "imageproc.cpp"]
+_LIB_NAME = "libdrtpu_native.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _lib_path() -> str:
+    return os.path.join(_DIR, _LIB_NAME)
+
+
+def _needs_build() -> bool:
+    lib = _lib_path()
+    if not os.path.exists(lib):
+        return True
+    lib_mtime = os.path.getmtime(lib)
+    for src in _SOURCES:
+        path = os.path.join(_DIR, src)
+        if os.path.exists(path) and os.path.getmtime(path) > lib_mtime:
+            return True
+    return False
+
+
+def _build() -> None:
+    sources = [os.path.join(_DIR, s) for s in _SOURCES
+               if os.path.exists(os.path.join(_DIR, s))]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-pthread", "-o", _lib_path()] + sources
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def native_available() -> bool:
+    return shutil.which("g++") is not None and not _build_failed
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Build (if needed) and load the native library; None when no g++."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed or shutil.which("g++") is None:
+            return None
+        try:
+            if _needs_build():
+                _build()
+            lib = ctypes.CDLL(_lib_path())
+        except (subprocess.CalledProcessError, OSError):
+            _build_failed = True
+            return None
+        lib.drtpu_topk_ip.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.drtpu_topk_ip.restype = None
+        _lib = lib
+        return _lib
+
+
+def topk_ip_native(queries: np.ndarray, bank: np.ndarray, k: int,
+                   n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact IP top-k on the host via the C++ library.
+
+    Raises RuntimeError when the native library is unavailable.
+    """
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no g++ or build failed)")
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    bank = np.ascontiguousarray(bank, dtype=np.float32)
+    nq, dim = queries.shape
+    nb, dim_b = bank.shape
+    assert dim == dim_b, (dim, dim_b)
+    k_eff = min(k, nb)
+    out_scores = np.empty((nq, k_eff), dtype=np.float32)
+    out_idx = np.empty((nq, k_eff), dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.drtpu_topk_ip(
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bank.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nq, nb, dim, k_eff, n_threads,
+    )
+    return out_scores, out_idx
