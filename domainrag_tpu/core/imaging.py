@@ -57,14 +57,12 @@ def clip_preprocess(image: Image.Image, size: int = 224) -> np.ndarray:
 
 
 def style_preprocess(image: Image.Image, size: int = 256) -> np.ndarray:
-    """ResNet-style-path preprocess: resize to size x size (matching the
-    reference's ``cv2.resize`` to 256x256 at retrieval/...py:189) then
-    ImageNet normalization. Returns HWC float32."""
+    """ResNet-style-path preprocess: bilinear resize to size x size and
+    scale to [0,1] — deliberately NO ImageNet normalization, matching the
+    reference exactly (retrieval/...py:188-190 does only
+    ``cv2.resize(256,256)`` + ``/255.0``). Returns HWC float32."""
     image = ensure_rgb(image).resize((size, size), Image.BILINEAR)
-    arr = np.asarray(image, dtype=np.float32) / 255.0
-    mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
-    std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
-    return (arr - mean) / std
+    return np.asarray(image, dtype=np.float32) / 255.0
 
 
 def siglip_preprocess(image: Image.Image, size: int = 384) -> np.ndarray:
