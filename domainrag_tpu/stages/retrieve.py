@@ -1,0 +1,284 @@
+"""Stage 2 — domain-aware two-stage retrieval (reference A2).
+
+Mirrors ``retrieval/clip100_resnet_style_all_shots.py``:
+
+1. first stage: CLIP ViT-B/32 global features, L2-normalized, exact
+   inner-product top-100 over the corpus bank (was FAISS ``IndexFlatIP``
+   rebuilt per query, ref :425-434 — here one resident device bank searched
+   with the fused Pallas GEMM+top-k);
+2. second stage: re-rank those 100 by L2 distance between 128-d
+   ResNet50-stem style vectors, similarity = 1/(1+d) (ref :454-497);
+3. artifacts: per-sample + per-dataset-shot + ``all_shots_retrieval_results``
+   JSONs with the exact reference schemas (ref :866-897,1095-1097), and
+   ``.npy`` + paths-JSON feature caches in the reference's file names
+   (ref :614-649,794-822).
+
+TPU-first deltas (documented, not behavioral): batched query embedding, a
+persistent multi-source bank, and memoized re-rank features.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import RetrievalConfig
+from ..core.log import get_logger
+from ..ops import topk as topk_ops
+from .encoders import ClipImageEncoder, StyleEncoder
+
+logger = get_logger("domainrag_tpu.retrieve")
+
+
+# ---------------------------------------------------------------------------
+# embedding bank
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EmbeddingBank:
+    """Multi-source corpus bank. ``features`` is a single f32 device array;
+    ``paths``/``sources`` map row -> image path / source dataset name."""
+
+    features: jax.Array
+    paths: List[str]
+    sources: List[str]
+
+    @property
+    def size(self) -> int:
+        return len(self.paths)
+
+    @classmethod
+    def from_sources(cls, features_by_source: Dict[str, np.ndarray],
+                     paths_by_source: Dict[str, List[str]]) -> "EmbeddingBank":
+        feats, paths, sources = [], [], []
+        for name, f in features_by_source.items():
+            if f is None or len(f) == 0:
+                continue
+            feats.append(np.asarray(f, np.float32))
+            paths.extend(paths_by_source[name])
+            sources.extend([name] * len(paths_by_source[name]))
+        if not feats:
+            raise ValueError("no corpus features available")
+        return cls(features=jax.device_put(np.concatenate(feats, axis=0)),
+                   paths=paths, sources=sources)
+
+
+def bank_cache_files(results_dir: str, source: str) -> Tuple[str, str]:
+    """Reference cache names: ``coco_clip_features.npy`` +
+    ``coco_image_paths.json`` (ref :616-617); same pattern per source."""
+    return (os.path.join(results_dir, f"{source}_clip_features.npy"),
+            os.path.join(results_dir, f"{source}_image_paths.json"))
+
+
+def load_or_compute_source_features(
+        results_dir: str, source: str, image_paths: Sequence[str],
+        encoder: ClipImageEncoder, force_recompute: bool = False
+) -> Tuple[np.ndarray, List[str]]:
+    """Idempotent feature cache per corpus source (ref :500-655)."""
+    feat_file, paths_file = bank_cache_files(results_dir, source)
+    if not force_recompute and os.path.exists(feat_file) \
+            and os.path.exists(paths_file):
+        feats = np.load(feat_file)
+        with open(paths_file) as f:
+            paths = json.load(f)
+        if len(feats) == len(paths):
+            logger.info("loaded %d cached %s features", len(feats), source)
+            return feats.astype(np.float32), paths
+        logger.warning("cache length mismatch for %s; recomputing", source)
+    feats, kept = encoder.encode_paths(
+        image_paths,
+        on_error=lambda p, e: logger.warning("skipping %s: %s", p, e))
+    os.makedirs(results_dir, exist_ok=True)
+    np.save(feat_file, feats)
+    with open(paths_file, "w") as f:
+        json.dump(kept, f)
+    return feats, kept
+
+
+# ---------------------------------------------------------------------------
+# query discovery (lamainpaint dir contract)
+# ---------------------------------------------------------------------------
+
+def get_inpainted_images(lamainpaint_dir: str, dataset: str, shot: int
+                         ) -> Tuple[Dict[str, str], Dict[str, str]]:
+    """Glob ``{lamainpaint_dir}/{dataset}/{shot}_shot/*.jpg``; categories
+    from sidecar ``category_mapping.json`` else sample_id (ref :89-158)."""
+    shot_dir = os.path.join(lamainpaint_dir, dataset, f"{shot}_shot")
+    if not os.path.isdir(shot_dir):
+        logger.error("missing shot dir %s", shot_dir)
+        return {}, {}
+    image_files = sorted(glob.glob(os.path.join(shot_dir, "*.jpg")))
+    mapping_file = os.path.join(shot_dir, "category_mapping.json")
+    category_mapping: Dict[str, str] = {}
+    if os.path.exists(mapping_file):
+        with open(mapping_file) as f:
+            category_mapping = json.load(f)
+    sample_to_image, sample_to_category = {}, {}
+    for path in image_files:
+        sample_id = os.path.splitext(os.path.basename(path))[0]
+        sample_to_image[sample_id] = path
+        sample_to_category[sample_id] = category_mapping.get(sample_id,
+                                                             sample_id)
+    return sample_to_image, sample_to_category
+
+
+# ---------------------------------------------------------------------------
+# two-stage search
+# ---------------------------------------------------------------------------
+
+def first_stage_topk(query_features: np.ndarray, bank: EmbeddingBank,
+                     top_k: int = 100, use_pallas: bool = True
+                     ) -> List[List[dict]]:
+    """Batched CLIP top-k. Returns, per query, the reference's first-stage
+    result dicts: similarity / image_path / source_dataset / index
+    (ref :436-447)."""
+    k = min(top_k, bank.size)
+    queries = jnp.asarray(np.asarray(query_features, np.float32))
+    fn = topk_ops.topk_ip_pallas if (
+        use_pallas and jax.default_backend() != "cpu") else topk_ops.topk_ip
+    scores, idx = fn(queries, bank.features, k)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    results = []
+    for qi in range(len(scores)):
+        results.append([
+            {"similarity": float(scores[qi, j]),
+             "image_path": bank.paths[idx[qi, j]],
+             "source_dataset": bank.sources[idx[qi, j]],
+             "index": int(idx[qi, j])}
+            for j in range(k)
+        ])
+    return results
+
+
+def style_rerank(query_path: str, first_stage: List[dict],
+                 style_encoder: StyleEncoder) -> List[dict]:
+    """Second stage (ref :454-497): L2 distance between style vectors,
+    ascending; output rank / similarity=1/(1+d) / image_path /
+    source_dataset. Falls back to first-stage order when the query image
+    is unreadable (ref :461-463)."""
+    qfeat = style_encoder.encode_paths([query_path]).get(query_path)
+    if qfeat is None:
+        logger.warning("cannot compute query style features: %s", query_path)
+        return first_stage
+    cand_paths = [r["image_path"] for r in first_stage]
+    feats = style_encoder.encode_paths(cand_paths)
+    scored = []
+    for r in first_stage:
+        feat = feats.get(r["image_path"])
+        if feat is None:
+            continue
+        d = float(np.linalg.norm(qfeat - feat))
+        scored.append((d, r))
+    scored.sort(key=lambda t: t[0])
+    return [
+        {"rank": i + 1,
+         "similarity": float(1.0 / (1.0 + d)),
+         "image_path": r["image_path"],
+         "source_dataset": r.get("source_dataset", "unknown")}
+        for i, (d, r) in enumerate(scored)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# per-dataset-shot orchestration
+# ---------------------------------------------------------------------------
+
+def retrieve_dataset_shot(
+        dataset: str, shot: int, bank: EmbeddingBank,
+        clip_encoder: ClipImageEncoder, style_encoder: StyleEncoder,
+        lamainpaint_dir: str, results_dir: str,
+        cfg: RetrievalConfig = RetrievalConfig(),
+        force_recompute_inpainted: bool = False) -> Dict[str, List[dict]]:
+    """Mirrors ``retrieve_by_category_multi_source`` (ref :773-898):
+    returns {category: [{sample_id, image_path, category, similar_images}]}
+    and writes per-sample + aggregate JSONs."""
+    sample_to_image, sample_to_category = get_inpainted_images(
+        lamainpaint_dir, dataset, shot)
+    if not sample_to_image:
+        return {}
+    os.makedirs(results_dir, exist_ok=True)
+
+    # query-side feature cache (ref :794-822 file names)
+    feat_file = os.path.join(
+        results_dir, f"{dataset}_{shot}_shot_inpainted_clip_features.npy")
+    paths_file = os.path.join(
+        results_dir, f"{dataset}_{shot}_shot_inpainted_image_paths.json")
+    sample_ids = sorted(sample_to_image)
+    query_paths = [sample_to_image[s] for s in sample_ids]
+    features = None
+    if not force_recompute_inpainted and os.path.exists(feat_file) \
+            and os.path.exists(paths_file):
+        cached = np.load(feat_file)
+        with open(paths_file) as f:
+            cached_paths = json.load(f)
+        if cached_paths == query_paths:
+            features = cached.astype(np.float32)
+    if features is None:
+        features, kept = clip_encoder.encode_paths(query_paths)
+        if kept != query_paths:  # drop unreadable queries
+            sample_ids = [s for s, p in zip(sample_ids, query_paths)
+                          if p in set(kept)]
+            query_paths = kept
+        np.save(feat_file, features)
+        with open(paths_file, "w") as f:
+            json.dump(query_paths, f)
+
+    # one batched first-stage search for every query of the dataset-shot
+    first_stage_all = first_stage_topk(features, bank, cfg.top_k)
+
+    all_results: Dict[str, List[dict]] = {}
+    for sample_id, image_path, first_stage in zip(
+            sample_ids, query_paths, first_stage_all):
+        category = sample_to_category[sample_id]
+        final = style_rerank(image_path, first_stage[:cfg.rerank_top_k],
+                             style_encoder)
+        per_sample_file = os.path.join(
+            results_dir,
+            f"{dataset}_{shot}_shot_{category}_{sample_id}"
+            "_retrieval_results.json")
+        with open(per_sample_file, "w", encoding="utf-8") as f:
+            json.dump(final, f, indent=2, ensure_ascii=False)
+        all_results.setdefault(category, []).append({
+            "sample_id": sample_id,
+            "image_path": image_path,
+            "category": category,
+            "similar_images": final,
+        })
+
+    out_file = os.path.join(
+        results_dir, f"{dataset}_{shot}_shot_retrieval_results.json")
+    with open(out_file, "w", encoding="utf-8") as f:
+        json.dump(all_results, f, indent=2, ensure_ascii=False)
+    logger.info("%s %d_shot: %d categories retrieved", dataset, shot,
+                len(all_results))
+    return all_results
+
+
+def run_retrieval(datasets: Sequence[str], shots: Sequence[int],
+                  bank: EmbeddingBank, clip_encoder: ClipImageEncoder,
+                  style_encoder: StyleEncoder, lamainpaint_dir: str,
+                  results_dir: str,
+                  cfg: RetrievalConfig = RetrievalConfig()) -> dict:
+    """Top-level sweep; writes ``all_shots_retrieval_results.json``
+    (ref :1053-1097) — the contract consumed by the generate stage."""
+    all_shots: Dict[str, dict] = {}
+    for dataset in datasets:
+        all_shots[dataset] = {}
+        for shot in shots:
+            results = retrieve_dataset_shot(
+                dataset, shot, bank, clip_encoder, style_encoder,
+                lamainpaint_dir, results_dir, cfg)
+            if results:
+                all_shots[dataset][f"{shot}_shot"] = results
+    if any(all_shots.values()):
+        out = os.path.join(results_dir, "all_shots_retrieval_results.json")
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(all_shots, f, indent=2, ensure_ascii=False)
+    return all_shots
