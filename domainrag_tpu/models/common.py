@@ -142,6 +142,24 @@ def batchnorm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return ((xf - p["mean"]) * inv + p["bias"]).astype(x.dtype)
 
 
+def groupnorm_init(dim) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def groupnorm(p: Params, x: jax.Array, groups: int = 32,
+              eps: float = 1e-6) -> jax.Array:
+    """GroupNorm over NHWC (stats per group across H, W and group channels),
+    f32 statistics."""
+    b, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 4), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(b, h, w, c)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
 def max_pool(x: jax.Array, window: int, stride: int,
              padding) -> jax.Array:
     """NHWC max pool; ``padding`` explicit ((t, b), (l, r)) or SAME/VALID.

@@ -1,0 +1,305 @@
+"""Flux pipelines: text/Redux-conditioned generation (B5+B7) and Fill (B6).
+
+First-party equivalents of the diffusers pipelines the reference drives:
+- background generation: ``FluxPriorReduxPipeline`` + ``FluxPipeline``
+  (batch_generate_flux_kshot.py:139-151,459-474 — dual-image Redux prior,
+  guidance 2.5, 50 steps, 1024x1024, fixed seed);
+- composition: ``FluxPriorReduxPipeline`` + ``FluxFillPipeline``
+  (outpainting_updown_sampling_redux.py:525-541,1237-1257 — keep-mask,
+  guidance 30-40, strength partial denoise).
+
+Everything on-device is one jit-compiled graph per (resolution, steps)
+bucket: prompt encode, prior fusion, ``lax.fori_loop`` denoise, VAE decode.
+Host work is limited to PIL preprocessing and PRNG seeding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import text as text_util
+from .. import clip as clip_mod
+from .. import redux as redux_mod
+from .. import siglip as siglip_mod
+from .. import t5 as t5_mod
+from . import model as flux_mod
+from . import scheduler as sched_mod
+from . import vae as vae_mod
+
+
+@dataclasses.dataclass
+class FluxBundle:
+    """All weights + configs for one Flux deployment (dev or fill)."""
+
+    flux_params: dict
+    flux_cfg: flux_mod.FluxConfig
+    vae_params: dict
+    vae_cfg: vae_mod.VaeConfig
+    t5_params: dict
+    t5_cfg: t5_mod.T5Config
+    clip_text_params: dict
+    clip_text_cfg: clip_mod.ClipTextConfig
+    siglip_params: Optional[dict] = None
+    siglip_cfg: Optional[siglip_mod.SiglipVisionConfig] = None
+    redux_params: Optional[dict] = None
+    redux_cfg: Optional[redux_mod.ReduxEncoderConfig] = None
+    clip_tokenizer: text_util.TokenizerLike = None
+    t5_tokenizer: text_util.TokenizerLike = None
+    t5_max_len: int = 512
+    clip_max_len: int = 77
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def latent_factor(self) -> int:
+        # token grid cell covers vae_factor * 2 pixels (2x2 latent packing)
+        return self.vae_cfg.spatial_factor * 2
+
+
+def tiny_bundle(key=None, fill: bool = False) -> FluxBundle:
+    """Random tiny bundle for tests / CPU drives. Structure-identical to
+    the 12B deployment, toy sizes."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    vae_cfg = vae_mod.TINY_VAE          # factor 2 -> latent_factor 4
+    base = flux_mod.TINY_FLUX
+    lat_packed = vae_cfg.latent_channels * 4
+    # fill conditioning: latents + masked-image latents + f^2*4 mask chans
+    fill_in = lat_packed * 2 + vae_cfg.spatial_factor ** 2 * 4
+    flux_cfg = dataclasses.replace(
+        base,
+        in_channels=fill_in if fill else lat_packed,
+        out_channels=lat_packed)
+    t5_cfg = t5_mod.TINY_T5
+    # tie dims: flux.text_dim must equal t5.d_model; pooled_dim = clip hidden
+    flux_cfg = dataclasses.replace(flux_cfg, text_dim=t5_cfg.d_model,
+                                   pooled_dim=64)
+    clip_cfg = dataclasses.replace(clip_mod.TINY_TEXT, hidden=64)
+    siglip_cfg = siglip_mod.TINY_SIGLIP
+    redux_cfg = redux_mod.ReduxEncoderConfig(
+        siglip_hidden=siglip_cfg.hidden, txt_dim=t5_cfg.d_model)
+    return FluxBundle(
+        flux_params=flux_mod.init(ks[0], flux_cfg), flux_cfg=flux_cfg,
+        vae_params=vae_mod.init(ks[1], vae_cfg), vae_cfg=vae_cfg,
+        t5_params=t5_mod.init(ks[2], t5_cfg), t5_cfg=t5_cfg,
+        clip_text_params=clip_mod.init_text(ks[3], clip_cfg),
+        clip_text_cfg=clip_cfg,
+        siglip_params=siglip_mod.init(ks[4], siglip_cfg),
+        siglip_cfg=siglip_cfg,
+        redux_params=redux_mod.init(ks[5], redux_cfg), redux_cfg=redux_cfg,
+        clip_tokenizer=text_util.StubTokenizer(vocab_size=clip_cfg.vocab_size,
+                                               bos_id=98, eos_id=99),
+        t5_tokenizer=text_util.StubTokenizer(vocab_size=t5_cfg.vocab_size,
+                                             bos_id=None, eos_id=1),
+        t5_max_len=16, clip_max_len=16,
+        compute_dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# prompt + prior encoding
+# ---------------------------------------------------------------------------
+
+def encode_prompt(bundle: FluxBundle, prompts: Sequence[str]
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """(T5 embeds (N, S, D_t5), CLIP pooled (N, D_clip)) per prompt."""
+    t5_ids = text_util.batch_tokenize(bundle.t5_tokenizer, prompts,
+                                      bundle.t5_max_len)
+    clip_ids = text_util.batch_tokenize(bundle.clip_tokenizer, prompts,
+                                        bundle.clip_max_len)
+    t5_out = t5_mod.apply(bundle.t5_params, jnp.asarray(t5_ids),
+                          bundle.t5_cfg)
+    _, pooled = clip_mod.apply_text(bundle.clip_text_params,
+                                    jnp.asarray(clip_ids),
+                                    bundle.clip_text_cfg)
+    return t5_out, pooled
+
+
+def redux_prior(bundle: FluxBundle, images: np.ndarray,
+                prompts: Sequence[str],
+                prompt_embeds_scale: Sequence[float],
+                pooled_prompt_embeds_scale: Sequence[float]
+                ) -> Tuple[jax.Array, jax.Array]:
+    """images: (N, S, S, 3) siglip-preprocessed. Returns fused
+    (1, S_txt + N*0 ... see combine, D) embeds + (1, P) pooled."""
+    assert bundle.siglip_params is not None, "bundle lacks Redux weights"
+    txt, pooled = encode_prompt(bundle, prompts)
+    sig = siglip_mod.apply(bundle.siglip_params, jnp.asarray(images),
+                           bundle.siglip_cfg)
+    img_embeds = redux_mod.apply(bundle.redux_params, sig)
+    return redux_mod.combine_prior(txt, pooled, img_embeds,
+                                   prompt_embeds_scale,
+                                   pooled_prompt_embeds_scale)
+
+
+# ---------------------------------------------------------------------------
+# generation (text/Redux -> image)
+# ---------------------------------------------------------------------------
+
+def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
+                      sigmas, guidance, img_ids, txt_ids, cfg):
+    def model_fn(x, sigma):
+        b = x.shape[0]
+        return flux_mod.apply(
+            flux_params, x, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            guidance=jnp.full((b,), guidance, jnp.float32))
+
+    def body(i, x):
+        sigma = sigmas[i]
+        v = model_fn(x, sigma)
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
+
+    return jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w"))
+def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
+                   sigmas, guidance, cfg: flux_mod.FluxConfig,
+                   vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int):
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    out_tokens = _denoise_jit_core(flux_params, latents, prompt_embeds,
+                                   pooled, sigmas, guidance, img_ids,
+                                   txt_ids, cfg)
+    lat = flux_mod.unpack_latents(out_tokens.astype(jnp.float32),
+                                  grid_h, grid_w)
+    return vae_mod.decode(vae_params, lat, vae_cfg)
+
+
+def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
+             pooled: jax.Array, height: int, width: int,
+             num_steps: int = 50, guidance: float = 2.5,
+             seed=0,
+             scheduler_overrides: Optional[dict] = None) -> np.ndarray:
+    """Full text/Redux-to-image run. Returns (B, H, W, 3) uint8 when
+    ``prompt_embeds`` is batched (B > 1), else (H, W, 3).
+
+    Defaults mirror the background-gen stage (guidance 2.5, 50 steps,
+    fixed seed — batch_generate_flux_kshot.py:467-474). Batched priors
+    denoise together in one compiled graph (the reference generated the 5
+    retrieval ranks sequentially — do not replicate)."""
+    batched = prompt_embeds.ndim == 3 and prompt_embeds.shape[0] > 1
+    b = prompt_embeds.shape[0] if prompt_embeds.ndim == 3 else 1
+    seeds = list(seed) if isinstance(seed, (list, tuple)) else [seed] * b
+    assert len(seeds) == b
+
+    lf = bundle.latent_factor
+    grid_h, grid_w = height // lf, width // lf
+    seq = grid_h * grid_w
+    schedule = sched_mod.make_schedule(num_steps, image_seq_len=seq,
+                                       **(scheduler_overrides or {}))
+    c = bundle.vae_cfg.latent_channels * 4
+    latents = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(s), (seq, c), jnp.float32)
+        for s in seeds]).astype(bundle.compute_dtype)
+    img = _generate_core(
+        bundle.flux_params, bundle.vae_params, latents,
+        prompt_embeds.astype(bundle.compute_dtype),
+        pooled.astype(bundle.compute_dtype),
+        jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+        cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+        grid_h=grid_h, grid_w=grid_w)
+    out = to_uint8(np.asarray(img, np.float32))
+    return out if batched else out[0]
+
+
+def to_uint8(img: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> uint8 (diffusers postprocess convention)."""
+    return (np.clip(img / 2.0 + 0.5, 0.0, 1.0) * 255.0).round().astype(
+        np.uint8)
+
+
+def from_uint8(img: np.ndarray) -> np.ndarray:
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# fill (inpaint/outpaint composition)
+# ---------------------------------------------------------------------------
+
+def pack_mask(mask: jax.Array, vae_factor: int) -> jax.Array:
+    """(B, H, W) binary mask (1 = repaint) -> (B, S, vae_factor^2 * 4)
+    tokens: 8x8 pixel-unshuffle into channels, then 2x2 latent packing
+    (diffusers FluxFillPipeline mask conditioning)."""
+    b, h, w = mask.shape
+    f = vae_factor
+    lh, lw = h // f, w // f
+    x = mask.reshape(b, lh, f, lw, f)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(b, lh, lw, f * f)
+    return flux_mod.pack_latents(x)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w"))
+def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
+               pooled, sigmas, guidance, cfg: flux_mod.FluxConfig,
+               vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int):
+    """image (1, H, W, 3) in [-1,1]; mask (1, H, W) float 0/1 (1=repaint)."""
+    masked = image * (1.0 - mask[..., None])
+    masked_latents = vae_mod.encode(vae_params, masked, vae_cfg)
+    masked_tokens = flux_mod.pack_latents(masked_latents)
+    mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
+
+    image_latents = vae_mod.encode(vae_params, image, vae_cfg)
+    image_tokens = flux_mod.pack_latents(image_latents)
+
+    # strength partial denoise: start from noised image latents at sigma_0
+    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
+
+    cond = jnp.concatenate(
+        [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+
+    def model_fn(x, sigma):
+        b = x.shape[0]
+        inp = jnp.concatenate([x, cond], axis=-1)
+        return flux_mod.apply(
+            flux_params, inp, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            guidance=jnp.full((b,), guidance, jnp.float32))
+
+    def body(i, x):
+        sigma = sigmas[i]
+        v = model_fn(x, sigma)
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
+
+    out = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+    lat = flux_mod.unpack_latents(out.astype(jnp.float32), grid_h, grid_w)
+    return vae_mod.decode(vae_params, lat, vae_cfg)
+
+
+def fill(bundle: FluxBundle, image: np.ndarray, mask: np.ndarray,
+         prompt_embeds: jax.Array, pooled: jax.Array,
+         num_steps: int = 50, guidance: float = 30.0,
+         strength: float = 0.75, seed: int = 0) -> np.ndarray:
+    """Flux-Fill outpaint. image (H, W, 3) uint8; mask (H, W) uint8 with
+    255 = repaint, 0 = keep (the compose-stage keep-mask,
+    outpainting_updown_sampling_redux.py:836-870). Returns uint8 image.
+    """
+    h, w = image.shape[:2]
+    lf = bundle.latent_factor
+    grid_h, grid_w = h // lf, w // lf
+    seq = grid_h * grid_w
+    schedule = sched_mod.make_schedule(num_steps, image_seq_len=seq,
+                                       strength=strength)
+    img = jnp.asarray(from_uint8(image)[None]).astype(bundle.compute_dtype)
+    m = jnp.asarray((mask.astype(np.float32) / 255.0) > 0.5,
+                    bundle.compute_dtype)[None]
+    c = bundle.vae_cfg.latent_channels * 4
+    noise = jax.random.normal(jax.random.PRNGKey(seed), (1, seq, c),
+                              jnp.float32).astype(bundle.compute_dtype)
+    out = _fill_core(
+        bundle.flux_params, bundle.vae_params, img, m, noise,
+        prompt_embeds.astype(bundle.compute_dtype),
+        pooled.astype(bundle.compute_dtype),
+        jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+        cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+        grid_h=grid_h, grid_w=grid_w)
+    return to_uint8(np.asarray(out[0], np.float32))

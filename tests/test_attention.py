@@ -1,0 +1,66 @@
+"""Flash attention vs dense reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from domainrag_tpu.ops import attention as attn
+
+
+def make_qkv(rng, b, h, sq, skv, d, dtype=np.float32):
+    q = rng.standard_normal((b, h, sq, d)).astype(dtype)
+    k = rng.standard_normal((b, h, skv, d)).astype(dtype)
+    v = rng.standard_normal((b, h, skv, d)).astype(dtype)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("sq,skv,d,bq,bkv", [
+    (128, 128, 64, 128, 128),      # single block
+    (256, 384, 128, 128, 128),     # multi kv blocks
+    (100, 200, 64, 64, 128),       # ragged seq -> padding/masking path
+    (64, 640, 32, 64, 256),        # long kv, small d
+])
+def test_flash_matches_reference(rng, sq, skv, d, bq, bkv):
+    q, k, v = make_qkv(rng, 1, 2, sq, skv, d)
+    ref = attn.attention_reference(q, k, v)
+    out = attn.flash_attention(q, k, v, block_q=bq, block_kv=bkv,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_causal(rng):
+    q, k, v = make_qkv(rng, 1, 2, 96, 96, 64)
+    ref = attn.attention_reference(q, k, v, causal=True)
+    out = attn.flash_attention(q, k, v, causal=True, block_q=32, block_kv=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16(rng):
+    q, k, v = make_qkv(rng, 1, 1, 128, 256, 64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ref = attn.attention_reference(qb, kb, vb)
+    out = attn.flash_attention(qb, kb, vb, block_q=128, block_kv=128,
+                               interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_dispatch_reference_on_cpu(rng):
+    q, k, v = make_qkv(rng, 1, 1, 16, 16, 32)
+    out = attn.attention(q, k, v)
+    ref = attn.attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_masked_dispatch(rng):
+    q, k, v = make_qkv(rng, 1, 1, 8, 8, 16)
+    mask = jnp.tril(jnp.ones((1, 1, 8, 8), jnp.bool_))
+    out = attn.attention(q, k, v, mask=mask)
+    ref = attn.attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
