@@ -1,0 +1,153 @@
+"""CLI — one programmatic entry replacing the reference's shell run-book
+(A7: domainrag.sh, retrieval.sh, inapint.sh, bg_gen_neu.sh,
+outpaint_updown_sampling.sh — all ``CUDA_VISIBLE_DEVICES=N nohup python``
+lines).
+
+Subcommands mirror the reference scripts' flags where sensible:
+
+  domainrag-tpu inpaint   --datasets NEU-DET --shots 1 5 10
+  domainrag-tpu retrieve  --datasets NEU-DET --shots 1 --corpus coco=./coco/train2017
+  domainrag-tpu generate  --dataset NEU-DET --shots 5
+  domainrag-tpu compose   --dataset NEU-DET --shot 5 --process_id 1 [--resume|--failed_only]
+  domainrag-tpu pipeline  --datasets NEU-DET --shots 1 [--stages inpaint,retrieve,...]
+
+``--tiny-models`` runs random tiny weights (no checkpoints needed);
+``--checkpoints DIR`` loads converted real weights (models/convert.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+from typing import Dict, List
+
+from ..core.config import (ComposeConfig, DEFAULT_SHOTS, DATASET_PARAMS,
+                           FluxSamplingConfig, GenerateConfig,
+                           PipelineConfig, ReduxConfig, ResolutionPolicy,
+                           get_dataset_params)
+from ..core.log import get_logger
+
+logger = get_logger("domainrag_tpu.cli")
+
+
+def _corpus_sources(specs: List[str]) -> Dict[str, List[str]]:
+    """--corpus name=dir[,name=dir...] -> {name: [image paths]}."""
+    sources: Dict[str, List[str]] = {}
+    for spec in specs:
+        name, _, directory = spec.partition("=")
+        paths = sorted(
+            p for ext in ("*.jpg", "*.jpeg", "*.png")
+            for p in glob.glob(os.path.join(directory, "**", ext),
+                               recursive=True))
+        sources[name] = paths
+    return sources
+
+
+def _build_cfg(args) -> PipelineConfig:
+    sampling = FluxSamplingConfig(
+        num_steps=args.steps,
+        height=args.size, width=args.size,
+        seed=args.seed)
+    # --custom_upscale DATASET:DIM (ref outpainting...py:1920-1932)
+    custom = {}
+    for spec in args.custom_upscale or []:
+        name, _, dim = spec.partition(":")
+        custom[name] = int(dim)
+    dataset_params = {name: get_dataset_params(name, custom)
+                      for name in set(list(DATASET_PARAMS) + args.datasets)}
+    compose = ComposeConfig(
+        resolution=ResolutionPolicy(max_dimension=args.max_dimension),
+        num_steps=args.steps,
+        dataset_params=dataset_params)
+    return PipelineConfig(
+        datasets=tuple(args.datasets),
+        shots=tuple(args.shots),
+        datasets_dir=args.datasets_dir,
+        output_dir=args.output_dir,
+        process_id=str(args.process_id),
+        generate=GenerateConfig(sampling=sampling, redux=ReduxConfig()),
+        compose=compose,
+    )
+
+
+def _build_runner(args):
+    cfg = _build_cfg(args)
+    corpus = _corpus_sources(args.corpus)
+    if args.tiny_models:
+        from ..pipeline.orchestrator import build_tiny_runner
+        return build_tiny_runner(cfg, corpus)
+    if args.checkpoints:
+        from ..models.convert import build_runner_from_checkpoints
+        return build_runner_from_checkpoints(args.checkpoints, cfg, corpus)
+    raise SystemExit(
+        "provide --checkpoints DIR (converted weights) or --tiny-models")
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--datasets", "--dataset", nargs="+", dest="datasets",
+                   default=["NEU-DET"])
+    p.add_argument("--shots", "--shot", nargs="+", dest="shots", type=int,
+                   default=list(DEFAULT_SHOTS))
+    p.add_argument("--datasets_dir", default="./datasets")
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--process_id", default="0")
+    p.add_argument("--corpus", nargs="*", default=[],
+                   help="corpus sources: name=dir (e.g. coco=./coco/train2017)")
+    p.add_argument("--tiny-models", action="store_true",
+                   help="random tiny weights (no checkpoints)")
+    p.add_argument("--checkpoints", default=None,
+                   help="directory with converted checkpoints")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--failed_only", action="store_true")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--custom_upscale", nargs="*", default=[],
+                   help="per-dataset upscale override DATASET:DIM "
+                        "(reference --custom_upscale)")
+    p.add_argument("--max_dimension", type=int, default=2800)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="domainrag-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name in ("inpaint", "retrieve", "generate", "compose", "pipeline"):
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "pipeline":
+            p.add_argument("--stages",
+                           default="inpaint,retrieve,generate,compose")
+    args = parser.parse_args(argv)
+
+    runner = _build_runner(args)
+    if args.command == "inpaint":
+        out = runner.run_inpaint(resume=args.resume)
+    elif args.command == "retrieve":
+        out = runner.run_retrieve()
+    elif args.command == "generate":
+        out = runner.run_generate(resume=args.resume)
+    elif args.command == "compose":
+        out = runner.run_compose(resume=args.resume,
+                                 failed_only=args.failed_only)
+    else:
+        stages = tuple(s.strip() for s in args.stages.split(",") if s.strip())
+        out = runner.run(stages=stages, resume=args.resume)
+    print(json.dumps(_summarize(out), indent=2, default=str))
+    return 0
+
+
+def _summarize(out):
+    """Counters only — stage outputs can be large nested dicts."""
+    if isinstance(out, dict):
+        return {k: _summarize(v) for k, v in list(out.items())[:50]}
+    if isinstance(out, list):
+        return f"[{len(out)} items]"
+    return out
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""Manifest-driven pipeline orchestrator — replaces ``domainrag.sh``.
+
+The reference's end-to-end run is four fire-and-forget shell phases with no
+cross-phase scheduler (domainrag.sh:1-31; SURVEY.md §3.5). Here the DAG is
+explicit: inpaint -> retrieve -> generate -> compose, each stage consuming
+the previous stage's on-disk artifacts (the L4 contract is preserved so
+stages stay independently re-runnable) and reporting into per-stage
+manifests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+
+from ..core.config import PipelineConfig
+from ..core.log import StepTimer, get_logger
+from ..models import clip as clip_mod
+from ..models import lama as lama_mod
+from ..models import resnet_stem
+from ..models.flux import pipeline as flux_pipeline
+from ..stages import compose as compose_stage
+from ..stages import generate as generate_stage
+from ..stages import inpaint as inpaint_stage
+from ..stages import retrieve as retrieve_stage
+from ..stages.encoders import ClipImageEncoder, StyleEncoder
+
+logger = get_logger("domainrag_tpu.pipeline")
+
+STAGES = ("inpaint", "retrieve", "generate", "compose")
+
+
+@dataclasses.dataclass
+class PipelineRunner:
+    """Holds all models + config; runs any subset of the stage DAG."""
+
+    cfg: PipelineConfig
+    lama_runner: inpaint_stage.LamaRunner
+    clip_encoder: ClipImageEncoder
+    style_encoder: StyleEncoder
+    flux_bundle: flux_pipeline.FluxBundle       # dev (generation)
+    fill_bundle: flux_pipeline.FluxBundle       # fill (composition)
+    corpus_sources: Dict[str, List[str]] = dataclasses.field(
+        default_factory=dict)                   # source -> image paths
+    timer: StepTimer = dataclasses.field(default_factory=StepTimer)
+
+    # -- stage entries -----------------------------------------------------
+    @property
+    def lamainpaint_dir(self) -> str:
+        return os.path.join(self.cfg.output_dir, "lamainpaint")
+
+    @property
+    def retrieval_dir(self) -> str:
+        return os.path.join(self.cfg.output_dir, "retrieval_results")
+
+    def run_inpaint(self, resume: bool = False):
+        with self.timer.span("stage/inpaint"):
+            return inpaint_stage.run_inpaint(
+                self.cfg.datasets, self.cfg.shots, self.lama_runner,
+                self.cfg.datasets_dir, self.cfg.output_dir, resume=resume)
+
+    def _build_bank(self) -> retrieve_stage.EmbeddingBank:
+        feats, paths = {}, {}
+        for source, image_paths in self.corpus_sources.items():
+            f, kept = retrieve_stage.load_or_compute_source_features(
+                self.retrieval_dir, source, image_paths, self.clip_encoder)
+            feats[source], paths[source] = f, kept
+        return retrieve_stage.EmbeddingBank.from_sources(feats, paths)
+
+    def run_retrieve(self):
+        with self.timer.span("stage/retrieve"):
+            bank = self._build_bank()
+            return retrieve_stage.run_retrieval(
+                self.cfg.datasets, self.cfg.shots, bank, self.clip_encoder,
+                self.style_encoder, self.lamainpaint_dir,
+                self.retrieval_dir, self.cfg.retrieval)
+
+    def run_generate(self, resume: bool = False):
+        results_file = os.path.join(self.retrieval_dir,
+                                    "all_shots_retrieval_results.json")
+        retrieval_results = {}
+        if os.path.exists(results_file):
+            with open(results_file) as f:
+                retrieval_results = json.load(f)
+        stage = generate_stage.GenerateStage(self.flux_bundle,
+                                             self.cfg.generate)
+        corpus_paths = [p for paths in self.corpus_sources.values()
+                        for p in paths]
+        out = {}
+        with self.timer.span("stage/generate"):
+            for dataset in self.cfg.datasets:
+                for shot in self.cfg.shots:
+                    out[f"{dataset}/{shot}"] = generate_stage.process_dataset(
+                        stage, dataset, shot, retrieval_results,
+                        self.lamainpaint_dir, self.cfg.output_dir,
+                        corpus_paths=corpus_paths, resume=resume)
+        return out
+
+    def run_compose(self, resume: bool = False, failed_only: bool = False):
+        stage = compose_stage.ComposeStage(
+            self.fill_bundle, self.cfg.compose,
+            process_id=self.cfg.process_id)
+        out = {}
+        with self.timer.span("stage/compose"):
+            for dataset in self.cfg.datasets:
+                for shot in self.cfg.shots:
+                    out[f"{dataset}/{shot}"] = compose_stage.process_dataset(
+                        stage, dataset, shot, self.cfg.datasets_dir,
+                        self.cfg.output_dir, resume=resume,
+                        failed_only=failed_only)
+        return out
+
+    def run(self, stages: Sequence[str] = STAGES, resume: bool = False):
+        """Run the DAG (or a contiguous subset — artifacts on disk carry
+        state between invocations, exactly like the reference's phases)."""
+        results = {}
+        for stage in stages:
+            if stage not in STAGES:
+                raise ValueError(f"unknown stage {stage!r}; "
+                                 f"choose from {STAGES}")
+            logger.info("=== stage: %s ===", stage)
+            results[stage] = getattr(self, f"run_{stage}")(resume=resume) \
+                if stage != "retrieve" else self.run_retrieve()
+        results["timings"] = self.timer.summary()
+        return results
+
+
+def build_tiny_runner(cfg: PipelineConfig,
+                      corpus_sources: Optional[Dict[str, List[str]]] = None,
+                      seed: int = 0) -> PipelineRunner:
+    """Random tiny-model runner: full pipeline mechanics without real
+    weights (tests, CPU smoke runs — SURVEY.md §4.4)."""
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    lama_cfg = lama_mod.TINY_LAMA
+    lama_params = lama_mod.init(ks[0], lama_cfg)
+    clip_cfg = clip_mod.TINY_VISION
+    clip_params = clip_mod.init_vision(ks[1], clip_cfg)
+    stem_params = resnet_stem.init(ks[2])
+    return PipelineRunner(
+        cfg=cfg,
+        lama_runner=inpaint_stage.LamaRunner(lama_params, lama_cfg),
+        clip_encoder=ClipImageEncoder(clip_params, clip_cfg, batch_size=8),
+        style_encoder=StyleEncoder(stem_params, batch_size=8, resize=64),
+        flux_bundle=flux_pipeline.tiny_bundle(ks[3], fill=False),
+        fill_bundle=flux_pipeline.tiny_bundle(ks[3], fill=True),
+        corpus_sources=corpus_sources or {},
+    )

@@ -1,0 +1,340 @@
+"""Stage 4 — Flux-Fill outpaint/composite (reference A4).
+
+Mirrors ``outpainting_updown_sampling_redux.py:872-1361`` per sample:
+
+1. recover original image + ALL bboxes + categories from ``{k}_shot.json``
+   (ref :570-682);
+2. resolution policy: upscale min-dim to the per-dataset target (UODD
+   2048), downscale max-dim to <= 2800, conflict -> error (ref :403-458);
+3. scale bbox coords by the factor (int truncation, ref :1167-1179);
+4. keep-mask: 0 inside bboxes, 255 outside (ref :836-870);
+5. per generated background (ranks 1..5): single-image Redux prior with
+   the per-dataset prompt + image_prompt_scale (ref :1237-1243), then
+   Flux-Fill at per-dataset guidance 30-40 / strength 0.3-0.9, 50 steps
+   (ref :1246-1257);
+6. restore to original resolution, write hires/final/mask/params JSON
+   (ref :1259-1322) and the formatted result JSON (ref :1383-1456).
+
+TPU deltas (documented): models load once per process (the reference
+reloaded both pipelines per sample, ref :1185 — known bug); the <=5
+backgrounds of a sample share one batched prior+fill; resume is
+manifest-driven.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+import random
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..core import imaging
+from ..core.coco import CocoAnnotations
+from ..core.config import ComposeConfig, DatasetParams, get_dataset_params
+from ..core.log import StepTimer, get_logger
+from ..core.manifest import Manifest, STATUS_DONE, STATUS_FAILED
+from ..models.flux import pipeline as flux_pipeline
+
+logger = get_logger("domainrag_tpu.compose")
+
+
+def find_sample_backgrounds(result_root: str, dataset: str, shot: int,
+                            sample_id: str) -> List[str]:
+    """Generated backgrounds for a sample: glob
+    ``{result_root}/{dataset}_{shot}shot_retrieval/results_*/{sample}/
+    generated_image*.png`` (ref :795-825,1083)."""
+    pattern = os.path.join(result_root, f"{dataset}_{shot}shot_retrieval",
+                           "results_*", sample_id, "generated_image*.png")
+    return sorted(glob.glob(pattern))
+
+
+def rank_suffix(bg_path: str, index: int) -> str:
+    """Extract the rank suffix from a background file name (ref
+    :1199-1206): 'generated_image_rank3.png' -> '_rank3', else '_{i+1}'."""
+    name = os.path.basename(bg_path)
+    if "rank" in name:
+        return "_rank" + name.split("rank")[1].split(".")[0]
+    return f"_{index + 1}"
+
+
+@dataclasses.dataclass
+class ComposeStage:
+    bundle: flux_pipeline.FluxBundle
+    cfg: ComposeConfig
+    process_id: str = "0"
+    seed: Optional[int] = None   # None -> random per image (ref :1230)
+
+    def dataset_params(self, dataset: str) -> DatasetParams:
+        for key, value in self.cfg.dataset_params.items():
+            if key.lower() == dataset.lower():
+                return value
+        return DatasetParams()
+
+    def _prior_for_bg(self, bg_image: Image.Image, dataset: str):
+        params = self.dataset_params(dataset)
+        size = self.bundle.siglip_cfg.image_size
+        px = imaging.siglip_preprocess(bg_image, size)
+        return flux_pipeline.redux_prior(
+            self.bundle, px[None], [params.redux_prompt],
+            prompt_embeds_scale=[params.image_prompt_scale],
+            pooled_prompt_embeds_scale=[1.0])
+
+    def process_sample(self, dataset: str, shot: int, sample_id: str,
+                       original_image: Image.Image,
+                       bboxes: Sequence[imaging.Bbox],
+                       categories: Sequence[str],
+                       bg_paths: Sequence[str],
+                       outpaint_dir: str,
+                       image_id=None,
+                       timer: Optional[StepTimer] = None) -> dict:
+        """One sample; returns the log record feeding the result JSON."""
+        timer = timer or StepTimer()
+        os.makedirs(outpaint_dir, exist_ok=True)
+        params = self.dataset_params(dataset)
+        lf = self.bundle.latent_factor
+
+        # resolution policy + /16 alignment for the fill model
+        processed, up, down, was_up, was_down = imaging.apply_resolution(
+            original_image, params.upscale_dimension,
+            self.cfg.resolution.max_dimension)
+        aligned_w = imaging.to_multiple_of(processed.width, lf, lf * 4)
+        aligned_h = imaging.to_multiple_of(processed.height, lf, lf * 4)
+        if (aligned_w, aligned_h) != processed.size:
+            processed = processed.resize((aligned_w, aligned_h),
+                                         Image.BICUBIC)
+        # bbox transform covers BOTH the policy resize and the /16
+        # alignment (the reference scaled by the policy factor only because
+        # it never re-aligned; our fill model needs /latent_factor dims)
+        sx = aligned_w / original_image.width
+        sy = aligned_h / original_image.height
+        scaled_bboxes = [[int(x * sx), int(y * sy),
+                          int(w * sx), int(h * sy)]
+                         for (x, y, w, h) in bboxes]
+
+        keep_mask = imaging.outpaint_keep_mask(aligned_w, aligned_h,
+                                               scaled_bboxes)
+        processed_np = np.asarray(processed)
+
+        log: dict = {
+            "sample_id": sample_id, "sample_prefix": sample_id,
+            "status": "completed",
+            "category": categories[0] if categories else "unknown",
+            "categories": list(categories),
+            "image_id": image_id if image_id is not None else "unknown",
+            "original_image_size": [original_image.width,
+                                    original_image.height],
+            "bbox_coords_list": [list(b) for b in bboxes],
+            "outpainted_images": [],
+        }
+
+        for i, bg_path in enumerate(bg_paths):
+            suffix = rank_suffix(bg_path, i)
+            with timer.span("prior"):
+                bg_image = imaging.load_rgb(bg_path)
+                embeds, pooled = self._prior_for_bg(bg_image, dataset)
+            seed = self.seed if self.seed is not None else \
+                random.randint(0, 2**32 - 1)
+            with timer.span("fill"):
+                result = flux_pipeline.fill(
+                    self.bundle, processed_np, keep_mask, embeds, pooled,
+                    num_steps=self.cfg.num_steps,
+                    guidance=params.guidance_scale,
+                    strength=params.strength, seed=seed)
+            with timer.span("save"):
+                mask_path = os.path.join(
+                    outpaint_dir, f"{sample_id}_mask{suffix}.png")
+                Image.fromarray(keep_mask).save(mask_path)
+                bg_copy = os.path.join(
+                    outpaint_dir, f"{sample_id}_bg{suffix}_original.png")
+                bg_image.save(bg_copy)
+                hires_path = os.path.join(
+                    outpaint_dir, f"{sample_id}_hires_result{suffix}.png")
+                hires = Image.fromarray(result)
+                hires.save(hires_path)
+                final = hires.resize(original_image.size, Image.BICUBIC) \
+                    if hires.size != original_image.size else hires
+                final_path = os.path.join(
+                    outpaint_dir, f"{sample_id}_final_result{suffix}.png")
+                final.save(final_path)
+
+                params_record = {
+                    "categories": list(categories),
+                    "image_prompt_scale": params.image_prompt_scale,
+                    "guidance_scale": params.guidance_scale,
+                    "num_inference_steps": self.cfg.num_steps,
+                    "strength": params.strength,
+                    "redux_prompt": params.redux_prompt,
+                    "seed": seed,
+                    "process_id": self.process_id,
+                    "shot_number": shot,
+                    "bg_index": i,
+                    "bg_filename": os.path.basename(bg_path),
+                    "original_bg_path": bg_path,
+                    "copied_bg_path": bg_copy,
+                    "original_resolution": {
+                        "width": original_image.width,
+                        "height": original_image.height},
+                    "processed_resolution": {"width": aligned_w,
+                                             "height": aligned_h},
+                    "min_dimension_used": params.upscale_dimension,
+                    "up_scale_factor": up,
+                    "down_scale_factor": down,
+                    "was_upscaled": was_up,
+                    "was_downscaled": was_down,
+                    "bbox_coords_list": [list(b) for b in bboxes],
+                    "processed_bbox_coords_list": scaled_bboxes,
+                    "image_id": image_id if image_id is not None
+                    else "unknown",
+                    "num_bbox": len(bboxes),
+                }
+                params_path = os.path.join(
+                    outpaint_dir, f"{sample_id}_params{suffix}.json")
+                with open(params_path, "w") as f:
+                    json.dump(params_record, f, indent=2)
+
+            log["outpainted_images"].append({
+                "original_bg_path": bg_path,
+                "copied_bg_path": bg_copy,
+                "hires_result_path": hires_path,
+                "final_result_path": final_path,
+                "mask_path": mask_path,
+                "params_path": params_path,
+                "bbox_coords_list": scaled_bboxes,
+                "params": params_record,
+            })
+        return log
+
+
+def formatted_result_json(dataset: str, logs: List[dict], shot: int,
+                          process_id: str) -> dict:
+    """Result JSON with the reference's field layout (ref :1383-1456)."""
+    samples = []
+    for log in logs:
+        if log.get("status") != "completed" or not log["outpainted_images"]:
+            continue
+        samples.append({
+            "sample_id": log["sample_id"],
+            "category": log.get("category", "unknown"),
+            "categories": log.get("categories", []),
+            "sample_prefix": log["sample_prefix"],
+            "process_id": process_id,
+            "shot_number": shot,
+            "image_id": log["image_id"],
+            "original_image_size": log["original_image_size"],
+            "bbox_coords_list": log.get("bbox_coords_list", []),
+            "num_bbox": len(log.get("bbox_coords_list", [])),
+            "outpainted_images": [{
+                "original_bg_path": r["original_bg_path"],
+                "copied_bg_path": r["copied_bg_path"],
+                "outpainted_image_path": r["hires_result_path"],
+                "final_result_path": r["final_result_path"],
+                "mask_path": r["mask_path"],
+                "params_path": r["params_path"],
+                "bbox_coords_list": r.get("bbox_coords_list", []),
+                "shot_number": shot,
+                "params": r["params"],
+            } for r in log["outpainted_images"]],
+        })
+    return {"dataset": dataset,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "process_id": process_id,
+            "shot_number": shot,
+            "samples": samples}
+
+
+def process_dataset(stage: ComposeStage, dataset: str, shot: int,
+                    datasets_dir: str, output_dir: str,
+                    resume: bool = False,
+                    failed_only: bool = False) -> dict:
+    """Full dataset x shot sweep + result JSON + final collection."""
+    coco = CocoAnnotations.load_shot(os.path.join(datasets_dir, dataset),
+                                     shot)
+    result_root = os.path.join(output_dir, "result")
+    outpaint_root = os.path.join(output_dir, "outpaint_hires",
+                                 f"process_{stage.process_id}", dataset,
+                                 f"{shot}_shot")
+    manifest = Manifest(os.path.join(outpaint_root, "manifest.json"),
+                        process_id=stage.process_id)
+
+    sample_map = {}
+    for image_id in coco.image_ids():
+        sample_id = os.path.splitext(coco.file_name(image_id))[0]
+        sample_map[sample_id] = image_id
+    todo = set(manifest.pending(sorted(sample_map), resume=resume,
+                                failed_only=failed_only))
+
+    logs: List[dict] = []
+    for sample_id, image_id in sorted(sample_map.items()):
+        if sample_id not in todo:
+            continue
+        bg_paths = find_sample_backgrounds(result_root, dataset, shot,
+                                           sample_id)
+        if not bg_paths:
+            logger.warning("no generated backgrounds for %s", sample_id)
+            manifest.mark(sample_id, STATUS_FAILED,
+                          error="no generated backgrounds")
+            continue
+        info = coco.images[image_id]
+        src = os.path.join(datasets_dir, dataset, "train", info.file_name)
+        if not os.path.exists(src):
+            src = os.path.join(datasets_dir, dataset, info.file_name)
+        start = time.perf_counter()
+        try:
+            original = imaging.load_rgb(src)
+            if original.size != (info.width, info.height):
+                original = original.resize((info.width, info.height))
+            log = stage.process_sample(
+                dataset, shot, sample_id, original,
+                coco.bboxes_for_image(image_id),
+                coco.category_names_for_image(image_id),
+                bg_paths,
+                os.path.join(outpaint_root, sample_id),
+                image_id=image_id)
+            logs.append(log)
+            manifest.mark(sample_id, STATUS_DONE,
+                          elapsed_s=time.perf_counter() - start)
+        except Exception as e:
+            logger.exception("compose failed for %s", sample_id)
+            manifest.mark(sample_id, STATUS_FAILED, error=str(e),
+                          elapsed_s=time.perf_counter() - start)
+
+    result = formatted_result_json(dataset, logs, shot, stage.process_id)
+    os.makedirs(outpaint_root, exist_ok=True)
+    out_json = os.path.join(outpaint_root,
+                            f"outpaint_results_{shot}shot.json")
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=2)
+    collect_final_results(output_dir, stage.process_id, shot)
+    return result
+
+
+def collect_final_results(output_dir: str, process_id: str,
+                          shot: Optional[int] = None) -> str:
+    """Copy ``*_final_result*.png`` into ``final_results/process_{id}``
+    (ref :1813-1886)."""
+    import shutil
+    collection = os.path.join(output_dir, "final_results",
+                              f"process_{process_id}")
+    if shot is not None:
+        collection = os.path.join(collection, f"{shot}_shot")
+    os.makedirs(collection, exist_ok=True)
+    outpaint_root = os.path.join(output_dir, "outpaint_hires",
+                                 f"process_{process_id}")
+    if not os.path.isdir(outpaint_root):
+        return collection
+    pattern = os.path.join(outpaint_root, "*",
+                           f"{shot}_shot" if shot else "*", "*",
+                           "*_final_result*.png")
+    for path in glob.glob(pattern):
+        parts = path.split(os.sep)
+        dataset = parts[-4]
+        dest_dir = os.path.join(collection, dataset)
+        os.makedirs(dest_dir, exist_ok=True)
+        shutil.copy(path, os.path.join(dest_dir, os.path.basename(path)))
+    return collection

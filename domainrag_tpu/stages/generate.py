@@ -1,0 +1,233 @@
+"""Stage 3 — domain-guided background generation (reference A3).
+
+Mirrors ``batch_generate_flux_kshot.py:766-1058``: per sample from the
+lamainpaint shot dir, look up the top-5 retrieved corpus images from
+``all_shots_retrieval_results.json``, fuse each (ref, target) pair with the
+dual-image Redux prior (scales [0.8, 1.0] / [1.0, 1.0], empty prompts —
+ref :52-64,459-465) and run FLUX.1-dev (guidance 2.5, 50 steps, 1024x1024,
+seed 0 — ref :467-474).
+
+Artifacts (consumed by the compose stage's ``results_*`` glob,
+outpainting_updown_sampling_redux.py:795-825):
+``{out}/result/{dataset}_{shot}shot_retrieval/results_.../{sample_id}/
+generated_image_rank{r}.png`` + ``target_input.png`` + ``ref_input*.jpg``
++ ``params.txt`` / ``ref_info*.txt`` provenance.
+
+TPU delta: the <=5 ranks of one sample denoise as ONE batch (the reference
+ran 5 sequential 50-step loops). Random-corpus fallback for samples missing
+from the retrieval JSON reproduces ref :1213-1228 (5 random images with
+synthetic similarities 1.0 - 0.1*i), seeded for determinism.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core import imaging
+from ..core.config import GenerateConfig
+from ..core.log import StepTimer, get_logger
+from ..core.manifest import Manifest, STATUS_DONE, STATUS_FAILED
+from ..models.flux import pipeline as flux_pipeline
+
+logger = get_logger("domainrag_tpu.generate")
+
+
+def top_ranked_refs(retrieval_results: dict, dataset: str, shot: int,
+                    sample_id: str, top_ranks: int = 5
+                    ) -> Optional[List[dict]]:
+    """Find a sample's <= top_ranks retrieved refs in the all-shots JSON.
+
+    Canonical-key lookup (the reference's fuzzy/zero-padded variants,
+    batch_generate_flux_kshot.py:1060-1330, exist because its producers
+    and consumers disagreed on keys; our stages share one canonical
+    contract, so readers stay strict — SURVEY.md §7 hard part 6)."""
+    shot_block = retrieval_results.get(dataset, {}).get(f"{shot}_shot")
+    if not shot_block:
+        return None
+    for category_entries in shot_block.values():
+        for entry in category_entries:
+            if entry.get("sample_id") == sample_id:
+                sims = entry.get("similar_images", [])
+                return [s for s in sims
+                        if s.get("rank", 99) <= top_ranks][:top_ranks]
+    return None
+
+
+def random_fallback_refs(corpus_paths: Sequence[str], top_ranks: int,
+                         seed: int) -> List[dict]:
+    """ref :1213-1228: random corpus refs with similarities 1.0 - 0.1*i."""
+    rng = random.Random(seed)
+    picks = rng.sample(list(corpus_paths), min(top_ranks, len(corpus_paths)))
+    return [{"rank": i + 1, "similarity": 1.0 - 0.1 * i, "image_path": p,
+             "source_dataset": "random_fallback"}
+            for i, p in enumerate(picks)]
+
+
+@dataclass
+class GenerateStage:
+    bundle: flux_pipeline.FluxBundle
+    cfg: GenerateConfig
+
+    def _prior_for_pair(self, ref_path: str, target_path: str):
+        size = self.bundle.siglip_cfg.image_size
+        ref_px = imaging.siglip_preprocess(imaging.load_rgb(ref_path), size)
+        tgt_px = imaging.siglip_preprocess(imaging.load_rgb(target_path),
+                                           size)
+        r = self.cfg.redux
+        return flux_pipeline.redux_prior(
+            self.bundle, np.stack([ref_px, tgt_px]),
+            [r.prompt, r.prompt],
+            prompt_embeds_scale=[r.ref_image_scale, r.target_image_scale],
+            pooled_prompt_embeds_scale=[r.ref_text_scale,
+                                        r.target_text_scale])
+
+    def generate_sample(self, sample_id: str, target_path: str,
+                        refs: List[dict], sample_dir: str,
+                        timer: Optional[StepTimer] = None) -> List[str]:
+        """All ranks of one sample in one batched denoise. Returns the
+        written image paths."""
+        timer = timer or StepTimer()
+        s = self.cfg.sampling
+        os.makedirs(sample_dir, exist_ok=True)
+        embeds, pooleds = [], []
+        with timer.span("prior"):
+            for ref in refs:
+                e, p = self._prior_for_pair(ref["image_path"], target_path)
+                embeds.append(e[0])
+                pooleds.append(p[0])
+        import jax.numpy as jnp
+        embeds = jnp.stack(embeds)
+        pooleds = jnp.stack(pooleds)
+        with timer.span("denoise"):
+            images = flux_pipeline.generate(
+                self.bundle, embeds, pooleds, height=s.height,
+                width=s.width, num_steps=s.num_steps,
+                guidance=s.guidance_scale,
+                seed=[s.seed] * len(refs),
+                scheduler_overrides={
+                    "use_dynamic_shifting": s.use_dynamic_shifting,
+                    "base_shift": s.base_shift, "max_shift": s.max_shift})
+        if images.ndim == 3:
+            images = images[None]
+
+        from PIL import Image
+        out_paths = []
+        with timer.span("save"):
+            for ref, img in zip(refs, images):
+                rank = ref.get("rank", 1)
+                out = os.path.join(sample_dir,
+                                   f"generated_image_rank{rank}.png")
+                Image.fromarray(img).save(out)
+                out_paths.append(out)
+                sim = ref.get("similarity")
+                sim_str = f"_sim{sim:.4f}" if sim is not None else ""
+                with open(os.path.join(
+                        sample_dir, f"ref_inforank{rank}{sim_str}.txt"),
+                        "w") as f:
+                    f.write(f"reference: {ref['image_path']}\n"
+                            f"target: {target_path}\n"
+                            f"rank: {rank}\nsimilarity: {sim}\n"
+                            f"source: {ref.get('source_dataset')}\n")
+                ref_copy = os.path.join(sample_dir,
+                                        f"ref_inputrank{rank}.jpg")
+                try:
+                    shutil.copy(ref["image_path"], ref_copy)
+                except OSError:
+                    pass
+            target_copy = os.path.join(sample_dir, "target_input.png")
+            if not os.path.exists(target_copy):
+                shutil.copy(target_path, target_copy)
+            params_file = os.path.join(sample_dir, "params.txt")
+            if not os.path.exists(params_file):
+                r = self.cfg.redux
+                with open(params_file, "w") as f:
+                    f.write(
+                        f"ref_image_scale: {r.ref_image_scale}\n"
+                        f"target_image_scale: {r.target_image_scale}\n"
+                        f"ref_text_scale: {r.ref_text_scale}\n"
+                        f"target_text_scale: {r.target_text_scale}\n"
+                        f"prompt: {r.prompt}\n"
+                        f"guidance_scale: {s.guidance_scale}\n"
+                        f"num_inference_steps: {s.num_steps}\n"
+                        f"size: {s.width}x{s.height}\nseed: {s.seed}\n")
+        return out_paths
+
+
+def results_dir_name(cfg: GenerateConfig, timestamp: str) -> str:
+    r = cfg.redux
+    return (f"results_coco_{r.ref_image_scale}_target_{r.target_image_scale}"
+            f"_cocotext_{r.ref_text_scale}_targettext_{r.target_text_scale}"
+            f"_{timestamp}")
+
+
+def process_dataset(stage: GenerateStage, dataset: str, shot: int,
+                    retrieval_results: dict, lamainpaint_dir: str,
+                    output_dir: str,
+                    corpus_paths: Sequence[str] = (),
+                    resume: bool = False,
+                    run_name: Optional[str] = None) -> Dict[str, int]:
+    """One dataset x shot sweep (ref :766-1058)."""
+    shot_dir = os.path.join(lamainpaint_dir, dataset, f"{shot}_shot")
+    if not os.path.isdir(shot_dir):
+        logger.error("missing shot dir %s", shot_dir)
+        return {}
+    samples = sorted(os.path.splitext(os.path.basename(p))[0]
+                     for p in glob.glob(os.path.join(shot_dir, "*.jpg")))
+    result_root = os.path.join(output_dir, "result",
+                               f"{dataset}_{shot}shot_retrieval")
+    if run_name is None:
+        run_name = results_dir_name(stage.cfg,
+                                    time.strftime("%Y%m%d_%H%M%S"))
+    base_dir = os.path.join(result_root, run_name)
+    os.makedirs(base_dir, exist_ok=True)
+    manifest = Manifest(os.path.join(base_dir, "manifest.json"))
+
+    counters = {"processed": 0, "failed": 0, "skipped": 0, "fallback": 0}
+    todo = set(manifest.pending(samples, resume=resume))
+    for sample_id in samples:
+        if sample_id not in todo:
+            counters["skipped"] += 1
+            continue
+        target_path = os.path.join(shot_dir, f"{sample_id}.jpg")
+        refs = top_ranked_refs(retrieval_results, dataset, shot, sample_id,
+                               stage.cfg.top_ranks)
+        if not refs:
+            if not corpus_paths:
+                logger.warning("no retrieval refs and no corpus fallback "
+                               "for %s", sample_id)
+                counters["failed"] += 1
+                manifest.mark(sample_id, STATUS_FAILED,
+                              error="no retrieval refs")
+                continue
+            refs = random_fallback_refs(
+                corpus_paths, stage.cfg.top_ranks,
+                seed=hash((dataset, shot, sample_id)) & 0x7FFFFFFF)
+            counters["fallback"] += 1
+        start = time.perf_counter()
+        sample_dir = os.path.join(base_dir, sample_id)
+        try:
+            paths = stage.generate_sample(sample_id, target_path, refs,
+                                          sample_dir)
+            counters["processed"] += 1
+            manifest.mark(sample_id, STATUS_DONE,
+                          outputs={"images": paths},
+                          elapsed_s=time.perf_counter() - start)
+        except Exception as e:
+            logger.exception("generation failed for %s", sample_id)
+            with open(os.path.join(sample_dir, "generation_failed.txt"),
+                      "w") as f:
+                f.write(str(e))
+            counters["failed"] += 1
+            manifest.mark(sample_id, STATUS_FAILED, error=str(e),
+                          elapsed_s=time.perf_counter() - start)
+    logger.info("%s %d_shot generate: %s", dataset, shot, counters)
+    return counters
