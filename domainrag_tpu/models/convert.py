@@ -1,0 +1,329 @@
+"""Real-checkpoint conversion: torch/safetensors state dicts -> param trees.
+
+The reference loads everything ``from_pretrained`` local dirs
+(``./model/FLUX.1-dev`` etc. — batch_generate_flux_kshot.py:21-23,117-153).
+This module converts those checkpoints (diffusers/transformers layouts)
+into this framework's param trees. The transformers-layout converters
+(CLIP/T5/SigLIP) are parity-tested against random HF models in tests/;
+the diffusers Flux transformer/VAE mappings follow the published diffusers
+module layout and are shape-validated against our ``init`` trees.
+
+No network access is assumed: all loaders take local paths.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import Params
+from . import clip as clip_mod
+from . import redux as redux_mod
+from . import siglip as siglip_mod
+from . import t5 as t5_mod
+from .flux import model as flux_mod
+from .flux import vae as vae_mod
+
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Merge all ``*.safetensors`` files under ``path`` into one dict."""
+    from safetensors import safe_open
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files and os.path.isfile(path):
+        files = [path]
+    for file in files:
+        with safe_open(file, framework="np") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return state
+
+
+def _w(sd, key) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(sd[key], np.float32))
+
+
+def _lin(sd, prefix) -> Params:
+    p = {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32).T)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _w(sd, f"{prefix}.bias")
+    return p
+
+
+def _cat_lin(sd, prefixes) -> Params:
+    """Concatenate several Linear layers along the OUTPUT dim (fused qkv)."""
+    ws = [np.asarray(sd[f"{p}.weight"], np.float32).T for p in prefixes]
+    out = {"w": jnp.asarray(np.concatenate(ws, axis=1))}
+    if f"{prefixes[0]}.bias" in sd:
+        bs = [np.asarray(sd[f"{p}.bias"], np.float32) for p in prefixes]
+        out["b"] = jnp.asarray(np.concatenate(bs))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Flux transformer (diffusers FluxTransformer2DModel layout)
+# ---------------------------------------------------------------------------
+
+def convert_flux_transformer(sd: Dict[str, np.ndarray],
+                             cfg: flux_mod.FluxConfig) -> Params:
+    def mlp_embedder(prefix) -> Params:
+        return {"in": _lin(sd, f"{prefix}.linear_1"),
+                "out": _lin(sd, f"{prefix}.linear_2")}
+
+    params: Params = {
+        "img_in": _lin(sd, "x_embedder"),
+        "txt_in": _lin(sd, "context_embedder"),
+        "time_in": mlp_embedder("time_text_embed.timestep_embedder"),
+        "vector_in": mlp_embedder("time_text_embed.text_embedder"),
+        "double": [], "single": [],
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = mlp_embedder(
+            "time_text_embed.guidance_embedder")
+
+    i = 0
+    while f"transformer_blocks.{i}.norm1.linear.weight" in sd:
+        pre = f"transformer_blocks.{i}"
+        params["double"].append({
+            "img_mod": _lin(sd, f"{pre}.norm1.linear"),
+            "txt_mod": _lin(sd, f"{pre}.norm1_context.linear"),
+            "img_qkv": _cat_lin(sd, [f"{pre}.attn.to_q", f"{pre}.attn.to_k",
+                                     f"{pre}.attn.to_v"]),
+            "txt_qkv": _cat_lin(sd, [f"{pre}.attn.add_q_proj",
+                                     f"{pre}.attn.add_k_proj",
+                                     f"{pre}.attn.add_v_proj"]),
+            "img_qknorm": {"q": {"scale": _w(sd, f"{pre}.attn.norm_q.weight")},
+                           "k": {"scale": _w(sd, f"{pre}.attn.norm_k.weight")}},
+            "txt_qknorm": {
+                "q": {"scale": _w(sd, f"{pre}.attn.norm_added_q.weight")},
+                "k": {"scale": _w(sd, f"{pre}.attn.norm_added_k.weight")}},
+            "img_proj": _lin(sd, f"{pre}.attn.to_out.0"),
+            "txt_proj": _lin(sd, f"{pre}.attn.to_add_out"),
+            "img_mlp1": _lin(sd, f"{pre}.ff.net.0.proj"),
+            "img_mlp2": _lin(sd, f"{pre}.ff.net.2"),
+            "txt_mlp1": _lin(sd, f"{pre}.ff_context.net.0.proj"),
+            "txt_mlp2": _lin(sd, f"{pre}.ff_context.net.2"),
+        })
+        i += 1
+    i = 0
+    while f"single_transformer_blocks.{i}.norm.linear.weight" in sd:
+        pre = f"single_transformer_blocks.{i}"
+        params["single"].append({
+            "mod": _lin(sd, f"{pre}.norm.linear"),
+            "linear1": _cat_lin(sd, [f"{pre}.attn.to_q", f"{pre}.attn.to_k",
+                                     f"{pre}.attn.to_v", f"{pre}.proj_mlp"]),
+            "linear2": _lin(sd, f"{pre}.proj_out"),
+            "qknorm": {"q": {"scale": _w(sd, f"{pre}.attn.norm_q.weight")},
+                       "k": {"scale": _w(sd, f"{pre}.attn.norm_k.weight")}},
+        })
+        i += 1
+
+    # diffusers AdaLayerNormContinuous emits (scale, shift); our final layer
+    # consumes (shift, scale) — swap the halves.
+    w = np.asarray(sd["norm_out.linear.weight"], np.float32).T
+    b = np.asarray(sd["norm_out.linear.bias"], np.float32)
+    h = w.shape[1] // 2
+    params["final_mod"] = {
+        "w": jnp.asarray(np.concatenate([w[:, h:], w[:, :h]], axis=1)),
+        "b": jnp.asarray(np.concatenate([b[h:], b[:h]])),
+    }
+    params["final_proj"] = _lin(sd, "proj_out")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Flux VAE (diffusers AutoencoderKL layout)
+# ---------------------------------------------------------------------------
+
+def _conv(sd, prefix) -> Params:
+    w = np.asarray(sd[f"{prefix}.weight"], np.float32)  # (O, I, kh, kw)
+    p = {"w": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _w(sd, f"{prefix}.bias")
+    return p
+
+
+def _gn(sd, prefix) -> Params:
+    return {"scale": _w(sd, f"{prefix}.weight"),
+            "bias": _w(sd, f"{prefix}.bias")}
+
+
+def _vae_resnet(sd, prefix) -> Params:
+    p = {"norm1": _gn(sd, f"{prefix}.norm1"),
+         "conv1": _conv(sd, f"{prefix}.conv1"),
+         "norm2": _gn(sd, f"{prefix}.norm2"),
+         "conv2": _conv(sd, f"{prefix}.conv2")}
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        p["shortcut"] = _conv(sd, f"{prefix}.conv_shortcut")
+    return p
+
+
+def _vae_attn(sd, prefix) -> Params:
+    def lin_as_conv(name):
+        w = np.asarray(sd[f"{prefix}.{name}.weight"], np.float32)
+        if w.ndim == 2:  # Linear (out, in) -> 1x1 conv HWIO
+            w = w.T[None, None]
+        else:
+            w = w.transpose(2, 3, 1, 0)
+        p = {"w": jnp.asarray(w)}
+        if f"{prefix}.{name}.bias" in sd:
+            p["b"] = _w(sd, f"{prefix}.{name}.bias")
+        return p
+
+    return {"norm": _gn(sd, f"{prefix}.group_norm"),
+            "q": lin_as_conv("to_q"), "k": lin_as_conv("to_k"),
+            "v": lin_as_conv("to_v"), "o": lin_as_conv("to_out.0")}
+
+
+def convert_flux_vae(sd: Dict[str, np.ndarray],
+                     cfg: vae_mod.VaeConfig) -> Params:
+    enc: Params = {"conv_in": _conv(sd, "encoder.conv_in"), "down": []}
+    i = 0
+    while f"encoder.down_blocks.{i}.resnets.0.norm1.weight" in sd:
+        pre = f"encoder.down_blocks.{i}"
+        stage = {"res": []}
+        j = 0
+        while f"{pre}.resnets.{j}.norm1.weight" in sd:
+            stage["res"].append(_vae_resnet(sd, f"{pre}.resnets.{j}"))
+            j += 1
+        if f"{pre}.downsamplers.0.conv.weight" in sd:
+            stage["down"] = _conv(sd, f"{pre}.downsamplers.0.conv")
+        enc["down"].append(stage)
+        i += 1
+    enc["mid"] = {
+        "res1": _vae_resnet(sd, "encoder.mid_block.resnets.0"),
+        "attn": _vae_attn(sd, "encoder.mid_block.attentions.0"),
+        "res2": _vae_resnet(sd, "encoder.mid_block.resnets.1"),
+    }
+    enc["norm_out"] = _gn(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: Params = {"conv_in": _conv(sd, "decoder.conv_in"),
+                   "mid": {
+                       "res1": _vae_resnet(sd, "decoder.mid_block.resnets.0"),
+                       "attn": _vae_attn(sd, "decoder.mid_block.attentions.0"),
+                       "res2": _vae_resnet(sd, "decoder.mid_block.resnets.1"),
+                   },
+                   "up": []}
+    i = 0
+    while f"decoder.up_blocks.{i}.resnets.0.norm1.weight" in sd:
+        pre = f"decoder.up_blocks.{i}"
+        stage = {"res": []}
+        j = 0
+        while f"{pre}.resnets.{j}.norm1.weight" in sd:
+            stage["res"].append(_vae_resnet(sd, f"{pre}.resnets.{j}"))
+            j += 1
+        if f"{pre}.upsamplers.0.conv.weight" in sd:
+            stage["up"] = _conv(sd, f"{pre}.upsamplers.0.conv")
+        dec["up"].append(stage)
+        i += 1
+    dec["norm_out"] = _gn(sd, "decoder.conv_norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+    return {"encoder": enc, "decoder": dec}
+
+
+# ---------------------------------------------------------------------------
+# full-deployment loader
+# ---------------------------------------------------------------------------
+
+def load_flux_bundle(checkpoints_dir: str, fill: bool = False,
+                     compute_dtype=jnp.bfloat16):
+    """Build a FluxBundle from a converted checkpoint tree:
+
+    {checkpoints_dir}/
+      flux-dev/ (or flux-fill/)  transformer safetensors
+      vae/  t5/  clip-text/  siglip/  redux/  (safetensors each)
+      tokenizer dirs per HF layout (optional; stub tokenizers otherwise)
+    """
+    from ..core import text as text_util
+    from .flux import pipeline as flux_pipeline
+
+    flux_cfg = flux_mod.FLUX_FILL_DEV if fill else flux_mod.FLUX_DEV
+    name = "flux-fill" if fill else "flux-dev"
+    flux_params = convert_flux_transformer(
+        load_safetensors_dir(os.path.join(checkpoints_dir, name)), flux_cfg)
+    vae_params = convert_flux_vae(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "vae")),
+        vae_mod.FLUX_VAE)
+    t5_params = t5_mod.convert_hf_t5(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "t5")),
+        t5_mod.T5_XXL)
+    clip_params = clip_mod.convert_hf_clip_text(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "clip-text")),
+        clip_mod.ClipTextConfig())
+    siglip_params = siglip_mod.convert_hf_siglip(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "siglip")),
+        siglip_mod.SIGLIP_SO400M)
+    redux_params = redux_mod.convert_hf_redux(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "redux")))
+    try:
+        clip_tok, t5_tok = text_util.load_hf_tokenizers(checkpoints_dir)
+    except Exception:
+        clip_tok = text_util.StubTokenizer(vocab_size=49408, bos_id=49406,
+                                           eos_id=49407)
+        t5_tok = text_util.StubTokenizer(vocab_size=32128, bos_id=None,
+                                         eos_id=1)
+    return flux_pipeline.FluxBundle(
+        flux_params=flux_params, flux_cfg=flux_cfg,
+        vae_params=vae_params, vae_cfg=vae_mod.FLUX_VAE,
+        t5_params=t5_params, t5_cfg=t5_mod.T5_XXL,
+        clip_text_params=clip_params, clip_text_cfg=clip_mod.ClipTextConfig(),
+        siglip_params=siglip_params, siglip_cfg=siglip_mod.SIGLIP_SO400M,
+        redux_params=redux_params, redux_cfg=redux_mod.REDUX_DEV,
+        clip_tokenizer=clip_tok, t5_tokenizer=t5_tok,
+        compute_dtype=compute_dtype)
+
+
+def build_runner_from_checkpoints(checkpoints_dir: str, cfg,
+                                  corpus_sources: Optional[dict] = None):
+    """PipelineRunner with real weights (CLI --checkpoints)."""
+    from ..pipeline.orchestrator import PipelineRunner
+    from ..stages import inpaint as inpaint_stage
+    from ..stages.encoders import ClipImageEncoder, StyleEncoder
+    from . import lama as lama_mod
+    from . import resnet_stem
+
+    clip_vision_cfg = clip_mod.ClipVisionConfig()
+    clip_vision = clip_mod.convert_hf_clip_vision(
+        load_safetensors_dir(os.path.join(checkpoints_dir, "clip-vision")),
+        clip_vision_cfg)
+    stem_sd = load_safetensors_dir(os.path.join(checkpoints_dir,
+                                                "resnet-stem"))
+    stem_params = resnet_stem.convert_torch_stem(
+        stem_sd["conv1.weight"], stem_sd["bn1.weight"], stem_sd["bn1.bias"],
+        stem_sd["bn1.running_mean"], stem_sd["bn1.running_var"])
+    lama_sd = load_safetensors_dir(os.path.join(checkpoints_dir, "lama"))
+    lama_params = convert_lama(lama_sd, lama_mod.BIG_LAMA)
+    return PipelineRunner(
+        cfg=cfg,
+        lama_runner=inpaint_stage.LamaRunner(lama_params,
+                                             lama_mod.BIG_LAMA),
+        clip_encoder=ClipImageEncoder(clip_vision, clip_vision_cfg),
+        style_encoder=StyleEncoder(stem_params),
+        flux_bundle=load_flux_bundle(checkpoints_dir, fill=False),
+        fill_bundle=load_flux_bundle(checkpoints_dir, fill=True),
+        corpus_sources=corpus_sources or {},
+    )
+
+
+def convert_lama(sd: Dict[str, np.ndarray], cfg) -> Params:
+    """big-lama generator state dict (saic-mdal layout ``model.N...``,
+    exported from the TorchScript checkpoint) -> param tree.
+
+    The big-lama checkpoint ships as TorchScript whose parameter naming
+    varies by export; conversion therefore walks ``named_parameters()`` in
+    topological order and maps onto our init tree with explicit shape
+    checks. Not implemented in this environment (no checkpoint to validate
+    against — zero egress); the mapping notes live here for when one is
+    present: stem FFC -> ``stem``, three stride-2 FFCs -> ``down``,
+    n_blocks x (conv1, conv2) FFCs -> ``blocks``, three ConvTranspose+BN ->
+    ``up``, final 7x7 conv -> ``head``; conv weights transpose
+    (O,I,kh,kw) -> (kh,kw,I,O)."""
+    raise NotImplementedError(
+        "requires a big-lama checkpoint to validate the ordered mapping; "
+        "see docstring for the layout notes")
