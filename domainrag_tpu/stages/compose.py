@@ -37,8 +37,11 @@ from PIL import Image
 from ..core import imaging
 from ..core.coco import CocoAnnotations
 from ..core.config import ComposeConfig, DatasetParams, get_dataset_params
+from ..core.interrupt import should_stop
 from ..core.log import StepTimer, get_logger
 from ..core.manifest import Manifest, STATUS_DONE, STATUS_FAILED
+from ..core.prefetch import PrefetchError, prefetch
+from ..core.progress import ProgressReporter
 from ..models.flux import pipeline as flux_pipeline
 
 logger = get_logger("domainrag_tpu.compose")
@@ -269,26 +272,51 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
     todo = set(manifest.pending(sorted(sample_map), resume=resume,
                                 failed_only=failed_only))
 
-    logs: List[dict] = []
-    for sample_id, image_id in sorted(sample_map.items()):
-        if sample_id not in todo:
-            continue
+    work = [(s_id, i_id) for s_id, i_id in sorted(sample_map.items())
+            if s_id in todo]
+
+    def load_item(item):
+        sample_id, image_id = item
         bg_paths = find_sample_backgrounds(result_root, dataset, shot,
                                            sample_id)
-        if not bg_paths:
-            logger.warning("no generated backgrounds for %s", sample_id)
-            manifest.mark(sample_id, STATUS_FAILED,
-                          error="no generated backgrounds")
-            continue
         info = coco.images[image_id]
         src = os.path.join(datasets_dir, dataset, "train", info.file_name)
         if not os.path.exists(src):
             src = os.path.join(datasets_dir, dataset, info.file_name)
-        start = time.perf_counter()
-        try:
+        original = None
+        if bg_paths:
             original = imaging.load_rgb(src)
             if original.size != (info.width, info.height):
                 original = original.resize((info.width, info.height))
+        return sample_id, image_id, bg_paths, original
+
+    logs: List[dict] = []
+    reporter = ProgressReporter(len(work), label="compose")
+    # host IO/preprocess overlaps the device denoise (double buffering)
+    loader = prefetch(work, load_item, depth=2)
+    for loaded in loader:
+        if should_stop():
+            logger.warning("graceful stop requested; %d samples remain",
+                           reporter.total - reporter.done)
+            loader.close()
+            break
+        if isinstance(loaded, PrefetchError):
+            sample_id = loaded.item[0]
+            logger.error("failed to load sample %s: %s", sample_id,
+                         loaded.__cause__)
+            manifest.mark(sample_id, STATUS_FAILED,
+                          error=f"load failed: {loaded.__cause__}")
+            reporter.update(ok=False, detail=sample_id)
+            continue
+        sample_id, image_id, bg_paths, original = loaded
+        if not bg_paths:
+            logger.warning("no generated backgrounds for %s", sample_id)
+            manifest.mark(sample_id, STATUS_FAILED,
+                          error="no generated backgrounds")
+            reporter.update(ok=False, detail=sample_id)
+            continue
+        start = time.perf_counter()
+        try:
             log = stage.process_sample(
                 dataset, shot, sample_id, original,
                 coco.bboxes_for_image(image_id),
@@ -299,10 +327,12 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
             logs.append(log)
             manifest.mark(sample_id, STATUS_DONE,
                           elapsed_s=time.perf_counter() - start)
+            reporter.update(ok=True, detail=sample_id)
         except Exception as e:
             logger.exception("compose failed for %s", sample_id)
             manifest.mark(sample_id, STATUS_FAILED, error=str(e),
                           elapsed_s=time.perf_counter() - start)
+            reporter.update(ok=False, detail=sample_id)
 
     result = formatted_result_json(dataset, logs, shot, stage.process_id)
     os.makedirs(outpaint_root, exist_ok=True)

@@ -34,8 +34,10 @@ import numpy as np
 
 from ..core import imaging
 from ..core.config import GenerateConfig
+from ..core.interrupt import should_stop
 from ..core.log import StepTimer, get_logger
 from ..core.manifest import Manifest, STATUS_DONE, STATUS_FAILED
+from ..core.progress import ProgressReporter
 from ..models.flux import pipeline as flux_pipeline
 
 logger = get_logger("domainrag_tpu.generate")
@@ -193,7 +195,11 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
 
     counters = {"processed": 0, "failed": 0, "skipped": 0, "fallback": 0}
     todo = set(manifest.pending(samples, resume=resume))
+    reporter = ProgressReporter(len(todo), label="generate")
     for sample_id in samples:
+        if should_stop():
+            logger.warning("graceful stop requested during generate")
+            break
         if sample_id not in todo:
             counters["skipped"] += 1
             continue
@@ -221,6 +227,7 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
             manifest.mark(sample_id, STATUS_DONE,
                           outputs={"images": paths},
                           elapsed_s=time.perf_counter() - start)
+            reporter.update(ok=True, detail=sample_id)
         except Exception as e:
             logger.exception("generation failed for %s", sample_id)
             with open(os.path.join(sample_dir, "generation_failed.txt"),
@@ -229,5 +236,6 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
             counters["failed"] += 1
             manifest.mark(sample_id, STATUS_FAILED, error=str(e),
                           elapsed_s=time.perf_counter() - start)
+            reporter.update(ok=False, detail=sample_id)
     logger.info("%s %d_shot generate: %s", dataset, shot, counters)
     return counters
