@@ -119,6 +119,31 @@ def encode_prompt(bundle: FluxBundle, prompts: Sequence[str]
     return t5_out, pooled
 
 
+def redux_prior_pairs(bundle: FluxBundle, images: np.ndarray,
+                      prompt: str,
+                      prompt_embeds_scale: Sequence[float],
+                      pooled_prompt_embeds_scale: Sequence[float]
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Batched dual-image priors for DP generation: images (N, K, S, S, 3)
+    siglip-preprocessed, one shared prompt, scales (K,). The text encoders
+    run ONCE and broadcast (the reference re-encoded the same empty prompt
+    per rank). Each group's K per-image sequences are weighted-summed per
+    the diffusers multi-image semantics; returns
+    ((N, S_txt + S_img, D), (N, P))."""
+    assert bundle.siglip_params is not None, "bundle lacks Redux weights"
+    n, k = images.shape[:2]
+    txt1, pooled1 = encode_prompt(bundle, [prompt])
+    txt = jnp.broadcast_to(txt1[:, None], (n, k) + txt1.shape[1:])
+    pooled = jnp.broadcast_to(pooled1[:, None], (n, k) + pooled1.shape[1:])
+    flat = jnp.asarray(images).reshape((n * k,) + images.shape[2:])
+    sig = siglip_mod.apply(bundle.siglip_params, flat, bundle.siglip_cfg)
+    img_embeds = redux_mod.apply(bundle.redux_params, sig)
+    img_embeds = img_embeds.reshape((n, k) + img_embeds.shape[1:])
+    return redux_mod.combine_prior_pairs(txt, pooled, img_embeds,
+                                         prompt_embeds_scale,
+                                         pooled_prompt_embeds_scale)
+
+
 def redux_prior(bundle: FluxBundle, images: np.ndarray,
                 prompts: Sequence[str],
                 prompt_embeds_scale: Sequence[float],
@@ -176,7 +201,8 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
              pooled: jax.Array, height: int, width: int,
              num_steps: int = 50, guidance: float = 2.5,
              seed=0,
-             scheduler_overrides: Optional[dict] = None) -> np.ndarray:
+             scheduler_overrides: Optional[dict] = None,
+             mesh=None, data_axis: str = "data") -> np.ndarray:
     """Full text/Redux-to-image run. Returns (B, H, W, 3) uint8 when
     ``prompt_embeds`` is batched (B > 1), else (H, W, 3).
 
@@ -198,14 +224,34 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
     latents = jnp.stack([
         jax.random.normal(jax.random.PRNGKey(s), (seq, c), jnp.float32)
         for s in seeds]).astype(bundle.compute_dtype)
+    embeds = prompt_embeds.astype(bundle.compute_dtype)
+    pooled_c = pooled.astype(bundle.compute_dtype)
+
+    n_real = latents.shape[0]
+    if mesh is not None:
+        # data-parallel sample sharding (replaces the reference's
+        # process-per-GPU executor, outpainting...py:1605-1715): pad the
+        # batch to the data-axis size and shard the leading dim; GSPMD
+        # runs each device's slice independently.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = mesh.shape[data_axis]
+        pad = (-n_real) % d
+        if pad:
+            def pad0(x):
+                return jnp.concatenate([x] + [x[:1]] * pad, axis=0)
+            latents, embeds, pooled_c = (pad0(latents), pad0(embeds),
+                                         pad0(pooled_c))
+        shard = NamedSharding(mesh, P(data_axis))
+        latents = jax.device_put(latents, shard)
+        embeds = jax.device_put(embeds, shard)
+        pooled_c = jax.device_put(pooled_c, shard)
+
     img = _generate_core(
-        bundle.flux_params, bundle.vae_params, latents,
-        prompt_embeds.astype(bundle.compute_dtype),
-        pooled.astype(bundle.compute_dtype),
+        bundle.flux_params, bundle.vae_params, latents, embeds, pooled_c,
         jnp.asarray(schedule.sigmas), jnp.float32(guidance),
         cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
         grid_h=grid_h, grid_w=grid_w)
-    out = to_uint8(np.asarray(img, np.float32))
+    out = to_uint8(np.asarray(img, np.float32))[:n_real]
     return out if batched else out[0]
 
 

@@ -77,6 +77,33 @@ def combine_prior(text_embeds: jax.Array, pooled_embeds: jax.Array,
             jnp.sum(pooled, axis=0, keepdims=True))
 
 
+def combine_prior_pairs(text_embeds: jax.Array, pooled_embeds: jax.Array,
+                        image_embeds: jax.Array,
+                        prompt_embeds_scale,
+                        pooled_prompt_embeds_scale
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Batched fusion: N independent conditioning groups of K images each
+    (the generate stage batches many (ref, target) pairs, K=2, across the
+    data mesh axis).
+
+    text_embeds: (N, K, S_t, D); pooled_embeds: (N, K, P);
+    image_embeds: (N, K, S_i, D); scales: (K,) shared or (N, K).
+    Returns ((N, S_t + S_i, D), (N, P)).
+    """
+    scales = jnp.asarray(prompt_embeds_scale, text_embeds.dtype)
+    pooled_scales = jnp.asarray(pooled_prompt_embeds_scale,
+                                pooled_embeds.dtype)
+    if scales.ndim == 1:
+        scales = jnp.broadcast_to(scales, text_embeds.shape[:2])
+    if pooled_scales.ndim == 1:
+        pooled_scales = jnp.broadcast_to(pooled_scales,
+                                         pooled_embeds.shape[:2])
+    embeds = jnp.concatenate([text_embeds, image_embeds], axis=2)
+    embeds = embeds * scales[:, :, None, None]
+    pooled = pooled_embeds * pooled_scales[:, :, None]
+    return jnp.sum(embeds, axis=1), jnp.sum(pooled, axis=1)
+
+
 def _t(x) -> np.ndarray:
     return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x,
                       dtype=np.float32)

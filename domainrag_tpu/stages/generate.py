@@ -164,6 +164,69 @@ class GenerateStage:
         return out_paths
 
 
+def generate_samples_dp(stage: GenerateStage,
+                        items: List[dict], mesh,
+                        timer: Optional[StepTimer] = None) -> Dict[str, List[str]]:
+    """Data-parallel batch across SAMPLES and ranks (A5 replacement):
+    every (sample, rank) pair becomes one row of a global batch whose
+    leading dim shards over the mesh's data axis — one compiled denoise
+    for the whole group instead of a process per GPU.
+
+    items: [{sample_id, target_path, refs, sample_dir}]. Returns
+    {sample_id: [image paths]}."""
+    timer = timer or StepTimer()
+    s = stage.cfg.sampling
+    r = stage.cfg.redux
+    size = stage.bundle.siglip_cfg.image_size
+
+    pairs = []   # (item, ref)
+    for item in items:
+        for ref in item["refs"]:
+            pairs.append((item, ref))
+    if not pairs:
+        return {}
+
+    with timer.span("prior"):
+        imgs = np.stack([
+            np.stack([
+                imaging.siglip_preprocess(
+                    imaging.load_rgb(ref["image_path"]), size),
+                imaging.siglip_preprocess(
+                    imaging.load_rgb(item["target_path"]), size)])
+            for item, ref in pairs])
+        embeds, pooleds = flux_pipeline.redux_prior_pairs(
+            stage.bundle, imgs, r.prompt,
+            prompt_embeds_scale=[r.ref_image_scale, r.target_image_scale],
+            pooled_prompt_embeds_scale=[r.ref_text_scale,
+                                        r.target_text_scale])
+    with timer.span("denoise"):
+        images = flux_pipeline.generate(
+            stage.bundle, embeds, pooleds, height=s.height, width=s.width,
+            num_steps=s.num_steps, guidance=s.guidance_scale,
+            seed=[s.seed] * len(pairs), mesh=mesh,
+            scheduler_overrides={
+                "use_dynamic_shifting": s.use_dynamic_shifting,
+                "base_shift": s.base_shift, "max_shift": s.max_shift})
+    if images.ndim == 3:
+        images = images[None]
+
+    from PIL import Image
+    out: Dict[str, List[str]] = {}
+    with timer.span("save"):
+        for (item, ref), img in zip(pairs, images):
+            sample_dir = item["sample_dir"]
+            os.makedirs(sample_dir, exist_ok=True)
+            rank = ref.get("rank", 1)
+            path = os.path.join(sample_dir,
+                                f"generated_image_rank{rank}.png")
+            Image.fromarray(img).save(path)
+            out.setdefault(item["sample_id"], []).append(path)
+            target_copy = os.path.join(sample_dir, "target_input.png")
+            if not os.path.exists(target_copy):
+                shutil.copy(item["target_path"], target_copy)
+    return out
+
+
 def results_dir_name(cfg: GenerateConfig, timestamp: str) -> str:
     r = cfg.redux
     return (f"results_coco_{r.ref_image_scale}_target_{r.target_image_scale}"
