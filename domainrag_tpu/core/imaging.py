@@ -22,6 +22,27 @@ SIGLIP_MEAN = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 SIGLIP_STD = np.array([0.5, 0.5, 0.5], dtype=np.float32)
 
 
+USE_NATIVE_RESIZE = True
+
+
+def _resize_rgb(image: Image.Image, size_wh, method) -> np.ndarray:
+    """Resize an RGB PIL image, preferring the native bit-parity resampler
+    (threaded C++, tests prove byte equality with PIL). Returns uint8 HWC.
+    """
+    if USE_NATIVE_RESIZE and method in (Image.BICUBIC, Image.BILINEAR):
+        try:
+            from ..native.build import (FILTER_BICUBIC, FILTER_BILINEAR,
+                                        load_native, resize_native)
+            if load_native() is not None:
+                fid = FILTER_BICUBIC if method == Image.BICUBIC \
+                    else FILTER_BILINEAR
+                return resize_native(np.asarray(image), size_wh[1],
+                                     size_wh[0], fid)
+        except Exception:
+            pass
+    return np.asarray(image.resize(size_wh, method))
+
+
 def ensure_rgb(image: Image.Image) -> Image.Image:
     """RGB-mode coercion (lama_inpaint/lama_inpaint.py:73-77)."""
     if image.mode != "RGB":
@@ -47,12 +68,11 @@ def clip_preprocess(image: Image.Image, size: int = 224) -> np.ndarray:
         new_w, new_h = size, max(size, int(round(size * h / w)))
     else:
         new_w, new_h = max(size, int(round(size * w / h))), size
-    image = image.resize((new_w, new_h), Image.BICUBIC)
+    resized = _resize_rgb(image, (new_w, new_h), Image.BICUBIC)
     # CenterCrop(size): torchvision uses round() on the half-offsets.
     left = int(round((new_w - size) / 2.0))
     top = int(round((new_h - size) / 2.0))
-    image = image.crop((left, top, left + size, top + size))
-    arr = np.asarray(image, dtype=np.float32) / 255.0
+    arr = resized[top:top + size, left:left + size].astype(np.float32) / 255.0
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
@@ -61,8 +81,8 @@ def style_preprocess(image: Image.Image, size: int = 256) -> np.ndarray:
     scale to [0,1] — deliberately NO ImageNet normalization, matching the
     reference exactly (retrieval/...py:188-190 does only
     ``cv2.resize(256,256)`` + ``/255.0``). Returns HWC float32."""
-    image = ensure_rgb(image).resize((size, size), Image.BILINEAR)
-    return np.asarray(image, dtype=np.float32) / 255.0
+    arr = _resize_rgb(ensure_rgb(image), (size, size), Image.BILINEAR)
+    return arr.astype(np.float32) / 255.0
 
 
 def siglip_preprocess(image: Image.Image, size: int = 384) -> np.ndarray:

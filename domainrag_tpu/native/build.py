@@ -74,6 +74,18 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
         ]
         lib.drtpu_topk_ip.restype = None
+        lib.drtpu_resize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.drtpu_resize.restype = None
+        lib.drtpu_resize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.drtpu_resize_batch.restype = None
         _lib = lib
         return _lib
 
@@ -105,3 +117,42 @@ def topk_ip_native(queries: np.ndarray, bank: np.ndarray, k: int,
         nq, nb, dim, k_eff, n_threads,
     )
     return out_scores, out_idx
+
+
+FILTER_BICUBIC = 0
+FILTER_BILINEAR = 1
+
+
+def resize_native(image: np.ndarray, out_h: int, out_w: int,
+                  filter_id: int = FILTER_BICUBIC) -> np.ndarray:
+    """PIL-bit-parity resample of one (H, W, 3) uint8 image."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    in_h, in_w = image.shape[:2]
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    lib.drtpu_resize(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        in_h, in_w, out_h, out_w, filter_id)
+    return out
+
+
+def resize_batch_native(images: np.ndarray, out_h: int, out_w: int,
+                        filter_id: int = FILTER_BICUBIC,
+                        n_threads: int = 0) -> np.ndarray:
+    """Threaded batch resample: (N, H, W, 3) uint8 -> (N, out_h, out_w, 3)."""
+    lib = load_native()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    images = np.ascontiguousarray(images, dtype=np.uint8)
+    n, in_h, in_w = images.shape[:3]
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.drtpu_resize_batch(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, in_h, in_w, out_h, out_w, filter_id, n_threads)
+    return out
