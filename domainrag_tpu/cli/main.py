@@ -28,8 +28,8 @@ from typing import Dict, List
 from ..core.config import (ComposeConfig, DEFAULT_SHOTS, DATASET_PARAMS,
                            FluxSamplingConfig, GenerateConfig,
                            PipelineConfig, ReduxConfig, ResolutionPolicy,
-                           get_dataset_params)
-from ..core.log import get_logger
+                           get_dataset_params, get_shots_for_dataset)
+from ..core.log import get_logger, maybe_trace
 
 logger = get_logger("domainrag_tpu.cli")
 
@@ -110,12 +110,18 @@ def _add_common(p: argparse.ArgumentParser):
                    help="per-dataset upscale override DATASET:DIM "
                         "(reference --custom_upscale)")
     p.add_argument("--max_dimension", type=int, default=2800)
+    p.add_argument("--auto_shots", action="store_true",
+                   help="use each dataset's canonical shot sweep "
+                        "(NWPU: 3/5/10/20, Camouflage: 1/2/3/5, else 1/5/10)")
+    p.add_argument("--trace_dir", default=None,
+                   help="write a jax.profiler trace of the run here")
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="domainrag-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
-    for name in ("inpaint", "retrieve", "generate", "compose", "pipeline"):
+    for name in ("inpaint", "retrieve", "generate", "compose", "pipeline",
+                 "export"):
         p = sub.add_parser(name)
         _add_common(p)
         if name == "pipeline":
@@ -123,19 +129,41 @@ def main(argv=None) -> int:
                            default="inpaint,retrieve,generate,compose")
     args = parser.parse_args(argv)
 
+    if args.auto_shots and len(args.datasets) == 1:
+        args.shots = list(get_shots_for_dataset(args.datasets[0]))
+
+    if args.command == "export":
+        from ..pipeline.export import export_synthetic_coco
+        out = {}
+        for dataset in args.datasets:
+            shots = get_shots_for_dataset(dataset) if args.auto_shots \
+                else args.shots
+            for shot in shots:
+                r = export_synthetic_coco(
+                    args.datasets_dir, args.output_dir, dataset, shot,
+                    str(args.process_id))
+                out[f"{dataset}/{shot}"] = {
+                    "images": len(r["images"]),
+                    "annotations": len(r["annotations"])}
+        print(json.dumps(out, indent=2))
+        return 0
+
     runner = _build_runner(args)
-    if args.command == "inpaint":
-        out = runner.run_inpaint(resume=args.resume)
-    elif args.command == "retrieve":
-        out = runner.run_retrieve()
-    elif args.command == "generate":
-        out = runner.run_generate(resume=args.resume)
-    elif args.command == "compose":
-        out = runner.run_compose(resume=args.resume,
-                                 failed_only=args.failed_only)
-    else:
-        stages = tuple(s.strip() for s in args.stages.split(",") if s.strip())
-        out = runner.run(stages=stages, resume=args.resume)
+    from ..core.interrupt import graceful_interrupts
+    with graceful_interrupts(), maybe_trace(args.trace_dir):
+        if args.command == "inpaint":
+            out = runner.run_inpaint(resume=args.resume)
+        elif args.command == "retrieve":
+            out = runner.run_retrieve()
+        elif args.command == "generate":
+            out = runner.run_generate(resume=args.resume)
+        elif args.command == "compose":
+            out = runner.run_compose(resume=args.resume,
+                                     failed_only=args.failed_only)
+        else:
+            stages = tuple(x.strip() for x in args.stages.split(",")
+                           if x.strip())
+            out = runner.run(stages=stages, resume=args.resume)
     print(json.dumps(_summarize(out), indent=2, default=str))
     return 0
 

@@ -78,6 +78,17 @@ NWPU_SHOTS: Tuple[int, ...] = (3, 5, 10, 20)
 CAMOUFLAGE_SHOTS: Tuple[int, ...] = (1, 2, 3, 5)
 
 
+def get_shots_for_dataset(dataset: str) -> Tuple[int, ...]:
+    """Per-dataset shot sweeps (retrieval/...py:47, domainrag.sh:4,
+    outpainting_updown_sampling_redux.py:1898)."""
+    d = dataset.lower()
+    if "nwpu" in d:
+        return NWPU_SHOTS
+    if "camouflage" in d:
+        return CAMOUFLAGE_SHOTS
+    return DEFAULT_SHOTS
+
+
 def get_dataset_params(dataset: str,
                        custom_upscale: Optional[Dict[str, int]] = None
                        ) -> DatasetParams:
