@@ -1,1 +1,1 @@
-from . import mesh, sharding, collectives  # noqa: F401
+from . import collectives, deploy, mesh, sharding  # noqa: F401
