@@ -89,14 +89,16 @@ def main() -> None:
         return jax.lax.fori_loop(0, NUM_STEPS, body, latents)
 
     params = jax.device_put(params)
-    out = denoise(params, latents)
-    jax.block_until_ready(out)            # compile + warm
+    # NOTE: timings must force a VALUE fetch — through the remote-TPU
+    # tunnel block_until_ready returns before device execution finishes
+    # (measured: impossible >peak FLOP rates otherwise).
+    _ = np.asarray(denoise(params, latents)[0, 0, :1])  # compile + warm
 
     reps = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = denoise(params, latents)
-    jax.block_until_ready(out)
+        _ = np.asarray(out[0, 0, :1])     # forces completion
     elapsed = (time.perf_counter() - t0) / reps
 
     # scale proxy blocks -> full model blocks (cost linear in depth; double

@@ -134,13 +134,16 @@ def get_inpainted_images(lamainpaint_dir: str, dataset: str, shot: int
 # ---------------------------------------------------------------------------
 
 def first_stage_topk(query_features: np.ndarray, bank: EmbeddingBank,
-                     top_k: int = 100, use_pallas: bool = True
+                     top_k: int = 100, use_pallas: bool = False
                      ) -> List[List[dict]]:
     """Batched CLIP top-k. Returns, per query, the reference's first-stage
     result dicts: similarity / image_path / source_dataset / index
     (ref :436-447)."""
     k = min(top_k, bank.size)
     queries = jnp.asarray(np.asarray(query_features, np.float32))
+    # default is the XLA path: measured 3.5x faster than the fused Pallas
+    # kernel at retrieval shapes (the bitonic merge is VPU-bound; see
+    # BENCH_NOTES.md) while returning identical indices
     fn = topk_ops.topk_ip_pallas if (
         use_pallas and jax.default_backend() != "cpu") else topk_ops.topk_ip
     scores, idx = fn(queries, bank.features, k)
