@@ -69,6 +69,8 @@ def _build_cfg(args) -> PipelineConfig:
         datasets_dir=args.datasets_dir,
         output_dir=args.output_dir,
         process_id=str(args.process_id),
+        worker_id=args.worker_id,
+        num_workers=args.num_workers,
         generate=GenerateConfig(sampling=sampling, redux=ReduxConfig()),
         compose=compose,
     )
@@ -115,6 +117,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "(NWPU: 3/5/10/20, Camouflage: 1/2/3/5, else 1/5/10)")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--worker_id", type=int, default=0,
+                   help="multi-host sharding: this worker's index")
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="multi-host sharding: total workers")
 
 
 def main(argv=None) -> int:

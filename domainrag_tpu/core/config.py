@@ -203,10 +203,22 @@ class PipelineConfig:
     datasets_dir: str = "./datasets"
     output_dir: str = "./output"
     process_id: str = "0"
+    # multi-host scale-out: this worker handles samples with
+    # index % num_workers == worker_id (deterministic round-robin over the
+    # sorted sample list; replaces the reference's one-shell-job-per-GPU)
+    worker_id: int = 0
+    num_workers: int = 1
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
     generate: GenerateConfig = field(default_factory=GenerateConfig)
     compose: ComposeConfig = field(default_factory=ComposeConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def worker_slice(items, worker_id: int, num_workers: int):
+    """Deterministic round-robin shard of a sorted work list."""
+    if num_workers <= 1:
+        return list(items)
+    return [x for i, x in enumerate(items) if i % num_workers == worker_id]
 
 
 def asdict(cfg) -> dict:

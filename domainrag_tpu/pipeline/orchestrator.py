@@ -61,7 +61,9 @@ class PipelineRunner:
         with self.timer.span("stage/inpaint"):
             return inpaint_stage.run_inpaint(
                 self.cfg.datasets, self.cfg.shots, self.lama_runner,
-                self.cfg.datasets_dir, self.cfg.output_dir, resume=resume)
+                self.cfg.datasets_dir, self.cfg.output_dir, resume=resume,
+                worker_id=self.cfg.worker_id,
+                num_workers=self.cfg.num_workers)
 
     def _build_bank(self) -> retrieve_stage.EmbeddingBank:
         feats, paths = {}, {}
@@ -97,7 +99,9 @@ class PipelineRunner:
                     out[f"{dataset}/{shot}"] = generate_stage.process_dataset(
                         stage, dataset, shot, retrieval_results,
                         self.lamainpaint_dir, self.cfg.output_dir,
-                        corpus_paths=corpus_paths, resume=resume)
+                        corpus_paths=corpus_paths, resume=resume,
+                        worker_id=self.cfg.worker_id,
+                        num_workers=self.cfg.num_workers)
         return out
 
     def run_compose(self, resume: bool = False, failed_only: bool = False):
@@ -111,7 +115,9 @@ class PipelineRunner:
                     out[f"{dataset}/{shot}"] = compose_stage.process_dataset(
                         stage, dataset, shot, self.cfg.datasets_dir,
                         self.cfg.output_dir, resume=resume,
-                        failed_only=failed_only)
+                        failed_only=failed_only,
+                        worker_id=self.cfg.worker_id,
+                        num_workers=self.cfg.num_workers)
         return out
 
     def run(self, stages: Sequence[str] = STAGES, resume: bool = False):

@@ -254,7 +254,9 @@ def formatted_result_json(dataset: str, logs: List[dict], shot: int,
 def process_dataset(stage: ComposeStage, dataset: str, shot: int,
                     datasets_dir: str, output_dir: str,
                     resume: bool = False,
-                    failed_only: bool = False) -> dict:
+                    failed_only: bool = False,
+                    worker_id: int = 0,
+                    num_workers: int = 1) -> dict:
     """Full dataset x shot sweep + result JSON + final collection."""
     coco = CocoAnnotations.load_shot(os.path.join(datasets_dir, dataset),
                                      shot)
@@ -269,8 +271,10 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
     for image_id in coco.image_ids():
         sample_id = os.path.splitext(coco.file_name(image_id))[0]
         sample_map[sample_id] = image_id
-    todo = set(manifest.pending(sorted(sample_map), resume=resume,
-                                failed_only=failed_only))
+    from ..core.config import worker_slice
+    todo = set(manifest.pending(
+        worker_slice(sorted(sample_map), worker_id, num_workers),
+        resume=resume, failed_only=failed_only))
 
     work = [(s_id, i_id) for s_id, i_id in sorted(sample_map.items())
             if s_id in todo]

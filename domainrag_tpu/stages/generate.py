@@ -239,14 +239,19 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                     output_dir: str,
                     corpus_paths: Sequence[str] = (),
                     resume: bool = False,
-                    run_name: Optional[str] = None) -> Dict[str, int]:
+                    run_name: Optional[str] = None,
+                    worker_id: int = 0,
+                    num_workers: int = 1) -> Dict[str, int]:
     """One dataset x shot sweep (ref :766-1058)."""
     shot_dir = os.path.join(lamainpaint_dir, dataset, f"{shot}_shot")
     if not os.path.isdir(shot_dir):
         logger.error("missing shot dir %s", shot_dir)
         return {}
-    samples = sorted(os.path.splitext(os.path.basename(p))[0]
-                     for p in glob.glob(os.path.join(shot_dir, "*.jpg")))
+    from ..core.config import worker_slice
+    samples = worker_slice(
+        sorted(os.path.splitext(os.path.basename(p))[0]
+               for p in glob.glob(os.path.join(shot_dir, "*.jpg"))),
+        worker_id, num_workers)
     result_root = os.path.join(output_dir, "result",
                                f"{dataset}_{shot}shot_retrieval")
     if run_name is None:

@@ -72,7 +72,9 @@ def process_dataset(dataset: str, shot: int, runner: LamaRunner,
                     datasets_dir: str, output_dir: str,
                     resume: bool = False,
                     manifest: Optional[Manifest] = None,
-                    timer: Optional[StepTimer] = None) -> Dict[str, int]:
+                    timer: Optional[StepTimer] = None,
+                    worker_id: int = 0,
+                    num_workers: int = 1) -> Dict[str, int]:
     """One dataset x shot sweep. Returns counters
     {processed, skipped, failed} (ref :214-221)."""
     dataset_dir = os.path.join(datasets_dir, dataset)
@@ -84,7 +86,9 @@ def process_dataset(dataset: str, shot: int, runner: LamaRunner,
         os.path.join(out_dir, "manifest.json"))
     timer = timer or StepTimer()
 
-    keys = [str(i) for i in coco.image_ids()]
+    from ..core.config import worker_slice
+    keys = worker_slice([str(i) for i in coco.image_ids()],
+                        worker_id, num_workers)
     todo = set(manifest.pending(keys, resume=resume))
     counters = {"processed": 0, "skipped": 0, "failed": 0}
     category_mapping: Dict[str, str] = {}
@@ -143,14 +147,16 @@ def process_dataset(dataset: str, shot: int, runner: LamaRunner,
 
 def run_inpaint(datasets: Sequence[str], shots: Sequence[int],
                 runner: LamaRunner, datasets_dir: str, output_dir: str,
-                resume: bool = False) -> Dict[str, Dict[str, int]]:
+                resume: bool = False, worker_id: int = 0,
+                num_workers: int = 1) -> Dict[str, Dict[str, int]]:
     results = {}
     for dataset in datasets:
         for shot in shots:
             try:
                 results[f"{dataset}/{shot}"] = process_dataset(
                     dataset, shot, runner, datasets_dir, output_dir,
-                    resume=resume)
+                    resume=resume, worker_id=worker_id,
+                    num_workers=num_workers)
             except FileNotFoundError as e:
                 logger.warning("skipping %s %d_shot: %s", dataset, shot, e)
     return results
