@@ -135,6 +135,7 @@ class RetrievalConfig:
     style_dim: int = 128             # 64-ch mean ++ 64-ch std (ref :196-199)
     bank_shard_axis: str = "data"    # mesh axis the embedding bank shards over
     cache_dir: str = "clip_features_cache"
+    visualize: bool = True           # per-sample top-10 grids (ref :874)
 
 
 @dataclass(frozen=True)
@@ -183,6 +184,12 @@ class ComposeConfig:
     num_steps: int = 50
     dataset_params: Dict[str, DatasetParams] = field(
         default_factory=lambda: dict(DATASET_PARAMS))
+    # round fill resolutions up to this multiple (0 = exact sizes).
+    # Arbitrary per-image sizes force one XLA compile per unique shape
+    # (SURVEY.md §7 hard part 4); bucketing pads the image (edge pixels,
+    # keep-masked) and crops the output, trading a sliver of border
+    # context for bounded compile count.
+    resolution_bucket: int = 0
 
 
 @dataclass(frozen=True)

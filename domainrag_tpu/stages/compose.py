@@ -124,6 +124,22 @@ class ComposeStage:
                                                scaled_bboxes)
         processed_np = np.asarray(processed)
 
+        # optional shape bucketing: pad to the bucket multiple with edge
+        # pixels; padding is keep-masked (0) so the fill never redraws it,
+        # and the output is cropped back before restore.
+        bucket = self.cfg.resolution_bucket
+        pad_h = pad_w = 0
+        if bucket and bucket > 0:
+            bucket_h = -aligned_h % max(bucket, lf)
+            bucket_w = -aligned_w % max(bucket, lf)
+            if bucket_h or bucket_w:
+                pad_h, pad_w = bucket_h, bucket_w
+                processed_np = np.pad(processed_np,
+                                      ((0, pad_h), (0, pad_w), (0, 0)),
+                                      mode="edge")
+                keep_mask = np.pad(keep_mask, ((0, pad_h), (0, pad_w)),
+                                   mode="constant", constant_values=0)
+
         log: dict = {
             "sample_id": sample_id, "sample_prefix": sample_id,
             "status": "completed",
@@ -149,6 +165,8 @@ class ComposeStage:
                     num_steps=self.cfg.num_steps,
                     guidance=params.guidance_scale,
                     strength=params.strength, seed=seed)
+                if pad_h or pad_w:
+                    result = result[:aligned_h, :aligned_w]
             with timer.span("save"):
                 mask_path = os.path.join(
                     outpaint_dir, f"{sample_id}_mask{suffix}.png")

@@ -248,6 +248,13 @@ def retrieve_dataset_shot(
             "_retrieval_results.json")
         with open(per_sample_file, "w", encoding="utf-8") as f:
             json.dump(final, f, indent=2, ensure_ascii=False)
+        if cfg.visualize:
+            from .visualize import visualize_results
+            visualize_results(
+                image_path, [r["image_path"] for r in final[:10]],
+                os.path.join(results_dir,
+                             f"{dataset}_{shot}_shot_{category}_"
+                             f"{sample_id}_visual.jpg"))
         all_results.setdefault(category, []).append({
             "sample_id": sample_id,
             "image_path": image_path,

@@ -148,3 +148,26 @@ def test_generate_random_fallback(runner, toy_env):
                                [1.0, 0.9, 0.8, 0.7, 0.6])
     refs2 = random_fallback_refs([f"p{i}.jpg" for i in range(10)], 5, seed=3)
     assert refs == refs2  # deterministic
+
+
+def test_compose_resolution_bucketing(runner, toy_env):
+    """Bucketed fill pads+crops; output shape unchanged, fewer compiles."""
+    import dataclasses
+    from domainrag_tpu.stages import compose as comp
+    from domainrag_tpu.core import imaging
+    root, _ = toy_env
+    stage = comp.ComposeStage(
+        runner.fill_bundle,
+        dataclasses.replace(runner.cfg.compose, resolution_bucket=16),
+        process_id="bkt", seed=0)
+    original = imaging.load_rgb(
+        str(root / "datasets/NEU-DET/train/crazing_1.jpg"))
+    bgs = comp.find_sample_backgrounds(
+        str(root / "output/result"), "NEU-DET", 1, "crazing_1")[:1]
+    log = stage.process_sample(
+        "NEU-DET", 1, "crazing_1", original, [(4, 4, 12, 10)], ["crazing"],
+        bgs, str(root / "output/bucket_test"), image_id=1)
+    assert log["status"] == "completed"
+    from PIL import Image
+    final = Image.open(log["outpainted_images"][0]["final_result_path"])
+    assert final.size == original.size
