@@ -18,7 +18,6 @@ Subcommands mirror the reference scripts' flags where sensible:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import json
 import os

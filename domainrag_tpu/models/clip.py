@@ -14,7 +14,6 @@ is tested against transformers with random weights.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ stored f32 and cast at use (bf16 on the MXU for the big models).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

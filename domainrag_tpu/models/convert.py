@@ -14,7 +14,6 @@ No network access is assumed: all loaders take local paths.
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Dict, Optional
 

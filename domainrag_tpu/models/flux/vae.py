@@ -14,14 +14,14 @@ outpainting_updown_sampling_redux.py:104-108).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..common import (Params, conv2d, conv_init, groupnorm, groupnorm_init,
-                      linear)
+from ..common import (Params, conv2d, conv_init, groupnorm,
+                      groupnorm_init)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,13 +11,12 @@ softmax — the multi-chip generalization of the single-chip flash kernel
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 NEG_INF = -1e30
 

@@ -8,7 +8,6 @@ d*k candidates (tiny) over ICI instead of the full score matrix.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -18,7 +18,7 @@ FSDP mode shards every large parameter's leading dim over ``data`` instead
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 from ..core.coco import CocoAnnotations
 from ..core.log import get_logger

@@ -29,14 +29,14 @@ import json
 import os
 import random
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
 
 from ..core import imaging
 from ..core.coco import CocoAnnotations
-from ..core.config import ComposeConfig, DatasetParams, get_dataset_params
+from ..core.config import ComposeConfig, DatasetParams
 from ..core.interrupt import should_stop
 from ..core.log import StepTimer, get_logger
 from ..core.manifest import Manifest, STATUS_DONE, STATUS_FAILED

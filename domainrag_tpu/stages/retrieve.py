@@ -22,8 +22,8 @@ from __future__ import annotations
 import glob
 import json
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp
