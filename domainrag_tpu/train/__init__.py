@@ -1,1 +1,1 @@
-from . import flow_match  # noqa: F401
+from . import checkpoint, flow_match, loop  # noqa: F401
