@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import RetrievalConfig
+from ..core.locks import atomic_save_npy, atomic_write_text, file_lock
 from ..core.log import get_logger
 from ..ops import topk as topk_ops
 from .encoders import ClipImageEncoder, StyleEncoder
@@ -81,10 +82,17 @@ def load_or_compute_source_features(
         results_dir: str, source: str, image_paths: Sequence[str],
         encoder: ClipImageEncoder, force_recompute: bool = False
 ) -> Tuple[np.ndarray, List[str]]:
-    """Idempotent feature cache per corpus source (ref :500-655)."""
+    """Idempotent feature cache per corpus source (ref :500-655).
+
+    Concurrent workers serialize on a lockfile and publish atomically —
+    the reference had last-writer-wins races on this cache
+    (retrieval/...py:644-646)."""
     feat_file, paths_file = bank_cache_files(results_dir, source)
-    if not force_recompute and os.path.exists(feat_file) \
-            and os.path.exists(paths_file):
+
+    def try_load():
+        if force_recompute or not (os.path.exists(feat_file)
+                                   and os.path.exists(paths_file)):
+            return None
         feats = np.load(feat_file)
         with open(paths_file) as f:
             paths = json.load(f)
@@ -92,13 +100,20 @@ def load_or_compute_source_features(
             logger.info("loaded %d cached %s features", len(feats), source)
             return feats.astype(np.float32), paths
         logger.warning("cache length mismatch for %s; recomputing", source)
-    feats, kept = encoder.encode_paths(
-        image_paths,
-        on_error=lambda p, e: logger.warning("skipping %s: %s", p, e))
-    os.makedirs(results_dir, exist_ok=True)
-    np.save(feat_file, feats)
-    with open(paths_file, "w") as f:
-        json.dump(kept, f)
+        return None
+
+    cached = try_load()
+    if cached is not None:
+        return cached
+    with file_lock(feat_file):
+        cached = try_load()   # another worker may have finished meanwhile
+        if cached is not None:
+            return cached
+        feats, kept = encoder.encode_paths(
+            image_paths,
+            on_error=lambda p, e: logger.warning("skipping %s: %s", p, e))
+        atomic_save_npy(feat_file, feats)
+        atomic_write_text(paths_file, json.dumps(kept))
     return feats, kept
 
 
