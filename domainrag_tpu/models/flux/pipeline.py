@@ -19,11 +19,14 @@ import dataclasses
 import functools
 from typing import Optional, Sequence, Tuple
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...core import text as text_util
+from ...ops import attention as attn_mod
 from .. import clip as clip_mod
 from .. import redux as redux_mod
 from .. import siglip as siglip_mod
@@ -54,6 +57,10 @@ class FluxBundle:
     t5_max_len: int = 512
     clip_max_len: int = 77
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # set by parallel.deploy.shard_bundle: attention runs head-sharded
+    # over this mesh's model axis (ops.attention.tp_attention)
+    tp_mesh: Optional[object] = None
+    tp_axis: str = "model"
 
     @property
     def latent_factor(self) -> int:
@@ -165,6 +172,18 @@ def redux_prior(bundle: FluxBundle, images: np.ndarray,
 # generation (text/Redux -> image)
 # ---------------------------------------------------------------------------
 
+def _tp_context(bundle: FluxBundle):
+    if bundle.tp_mesh is None:
+        return contextlib.nullcontext()
+    return attn_mod.tp_attention(bundle.tp_mesh, bundle.tp_axis)
+
+
+def _tp_tag(bundle: FluxBundle) -> str:
+    if bundle.tp_mesh is None:
+        return "none"
+    return f"{bundle.tp_axis}:{bundle.tp_mesh.shape[bundle.tp_axis]}"
+
+
 def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
                       sigmas, guidance, img_ids, txt_ids, cfg):
     def model_fn(x, sigma):
@@ -183,10 +202,14 @@ def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w"))
+    jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
 def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
                    sigmas, guidance, cfg: flux_mod.FluxConfig,
-                   vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int):
+                   vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int,
+                   tp_tag: str = "none"):
+    # tp_tag keys the jit cache: the TP shard_map is baked into the traced
+    # graph via the surrounding tp_attention context, invisible to jit
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
     out_tokens = _denoise_jit_core(flux_params, latents, prompt_embeds,
@@ -246,11 +269,12 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         embeds = jax.device_put(embeds, shard)
         pooled_c = jax.device_put(pooled_c, shard)
 
-    img = _generate_core(
-        bundle.flux_params, bundle.vae_params, latents, embeds, pooled_c,
-        jnp.asarray(schedule.sigmas), jnp.float32(guidance),
-        cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
-        grid_h=grid_h, grid_w=grid_w)
+    with _tp_context(bundle):
+        img = _generate_core(
+            bundle.flux_params, bundle.vae_params, latents, embeds,
+            pooled_c, jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+            cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+            grid_h=grid_h, grid_w=grid_w, tp_tag=_tp_tag(bundle))
     out = to_uint8(np.asarray(img, np.float32))[:n_real]
     return out if batched else out[0]
 
@@ -282,10 +306,12 @@ def pack_mask(mask: jax.Array, vae_factor: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w"))
+    jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
 def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
                pooled, sigmas, guidance, cfg: flux_mod.FluxConfig,
-               vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int):
+               vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int,
+               tp_tag: str = "none"):
     """image (1, H, W, 3) in [-1,1]; mask (1, H, W) float 0/1 (1=repaint)."""
     masked = image * (1.0 - mask[..., None])
     masked_latents = vae_mod.encode(vae_params, masked, vae_cfg)
@@ -341,11 +367,12 @@ def fill(bundle: FluxBundle, image: np.ndarray, mask: np.ndarray,
     c = bundle.vae_cfg.latent_channels * 4
     noise = jax.random.normal(jax.random.PRNGKey(seed), (1, seq, c),
                               jnp.float32).astype(bundle.compute_dtype)
-    out = _fill_core(
-        bundle.flux_params, bundle.vae_params, img, m, noise,
-        prompt_embeds.astype(bundle.compute_dtype),
-        pooled.astype(bundle.compute_dtype),
-        jnp.asarray(schedule.sigmas), jnp.float32(guidance),
-        cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
-        grid_h=grid_h, grid_w=grid_w)
+    with _tp_context(bundle):
+        out = _fill_core(
+            bundle.flux_params, bundle.vae_params, img, m, noise,
+            prompt_embeds.astype(bundle.compute_dtype),
+            pooled.astype(bundle.compute_dtype),
+            jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+            cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+            grid_h=grid_h, grid_w=grid_w, tp_tag=_tp_tag(bundle))
     return to_uint8(np.asarray(out[0], np.float32))

@@ -158,10 +158,59 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :s_q, :d]
 
 
+# ---------------------------------------------------------------------------
+# tensor-parallel composition: a Pallas kernel inside pjit would force its
+# operands replicated; under TP the heads axis is model-sharded, so the
+# kernel must run per-shard via shard_map. Stages set the TP context once
+# (parallel.deploy.shard_bundle does this) and every attention call inside
+# the traced model routes through the head-sharded wrapper.
+# ---------------------------------------------------------------------------
+
+import contextlib as _contextlib
+import threading as _threading
+
+_TP_CONTEXT = _threading.local()
+
+
+@_contextlib.contextmanager
+def tp_attention(mesh, axis: str = "model"):
+    """Within this context, attention() runs head-sharded over ``axis``."""
+    prev = getattr(_TP_CONTEXT, "value", None)
+    _TP_CONTEXT.value = (mesh, axis)
+    try:
+        yield
+    finally:
+        _TP_CONTEXT.value = prev
+
+
+def _tp_sharded(q, k, v, causal: bool):
+    from jax.sharding import PartitionSpec as P
+    mesh, axis = _TP_CONTEXT.value
+    n = mesh.shape[axis]
+    if n <= 1 or q.shape[1] % n != 0:
+        return None
+
+    def local(q, k, v):
+        if jax.default_backend() == "tpu":
+            return flash_attention(q, k, v, causal=causal)
+        return attention_reference(q, k, v, causal=causal)
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(None, axis),) * 3,
+                       out_specs=P(None, axis),
+                       check_vma=False)
+    return fn(q, k, v)
+
+
 def attention(q, k, v, causal: bool = False, mask=None,
               force_reference: bool = False):
     """Dispatch: Pallas flash kernel on TPU (no custom mask), dense
-    reference otherwise. ``mask`` forces the reference path."""
+    reference otherwise; head-sharded via shard_map inside a
+    :func:`tp_attention` context. ``mask`` forces the reference path."""
+    if mask is None and getattr(_TP_CONTEXT, "value", None) is not None:
+        out = _tp_sharded(q, k, v, causal)
+        if out is not None:
+            return out
     if mask is not None or force_reference or \
             jax.default_backend() != "tpu":
         if mask is not None:

@@ -42,6 +42,8 @@ def shard_bundle(bundle: FluxBundle, mesh: Mesh,
 
     return dataclasses.replace(
         bundle,
+        tp_mesh=mesh,
+        tp_axis=model_axis,
         flux_params=flux_params,
         vae_params=rep(bundle.vae_params),
         t5_params=rep(bundle.t5_params),
