@@ -66,6 +66,49 @@ def rank_suffix(bg_path: str, index: int) -> str:
     return f"_{index + 1}"
 
 
+def fallback_sample_inputs(dataset: str, sample_id: str, result_root: str,
+                           shot: int,
+                           bbox_crops_dir: Optional[str] = None):
+    """Recover (original_image, bboxes, categories) for a sample missing
+    from the annotations (ref :924-1077):
+
+    1. original = the generate stage's ``target_input.png`` copy;
+    2. bboxes from ``{bbox_crops_dir}/{dataset}/{sample_id}*`` crops placed
+       on a synthetic grid (ref's offset layout: i%3 / i//3 sixths), else
+    3. a default centered bbox covering 30% of each dimension.
+    Returns None when no target_input.png exists either."""
+    pattern = os.path.join(result_root, f"{dataset}_{shot}shot_retrieval",
+                           "results_*", sample_id, "target_input.png")
+    matches = sorted(glob.glob(pattern))
+    if not matches:
+        return None
+    original = imaging.load_rgb(matches[0])
+    w, h = original.size
+
+    crops = []
+    if bbox_crops_dir:
+        crops = sorted(glob.glob(os.path.join(
+            bbox_crops_dir, dataset, f"{sample_id}*")))
+    if crops:
+        bboxes, categories = [], []
+        for i, path in enumerate(crops):
+            try:
+                crop = imaging.load_rgb(path)
+            except Exception:
+                continue
+            bw, bh = crop.size
+            offset_x = (i % 3) * (w // 6)
+            offset_y = (i // 3) * (h // 6)
+            x = max(0, min(w // 2 - bw // 2 + offset_x, w - bw))
+            y = max(0, min(h // 2 - bh // 2 + offset_y, h - bh))
+            bboxes.append((x, y, bw, bh))
+            categories.append("unknown")
+        if bboxes:
+            return original, bboxes, categories
+    bw, bh = int(w * 0.3), int(h * 0.3)
+    return original, [((w - bw) // 2, (h - bh) // 2, bw, bh)], ["unknown"]
+
+
 @dataclasses.dataclass
 class ComposeStage:
     bundle: flux_pipeline.FluxBundle
@@ -289,6 +332,16 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
     for image_id in coco.image_ids():
         sample_id = os.path.splitext(coco.file_name(image_id))[0]
         sample_map[sample_id] = image_id
+    # the reference also enumerates samples straight from the generate
+    # stage's result dirs (ref :1458-1577); result-only samples take the
+    # fallback input path (target_input.png + synthetic bboxes)
+    result_pattern = os.path.join(result_root,
+                                  f"{dataset}_{shot}shot_retrieval",
+                                  "results_*", "*")
+    for sample_dir in glob.glob(result_pattern):
+        name = os.path.basename(sample_dir)
+        if os.path.isdir(sample_dir):
+            sample_map.setdefault(name, None)
     from ..core.config import worker_slice
     todo = set(manifest.pending(
         worker_slice(sorted(sample_map), worker_id, num_workers),
@@ -296,21 +349,34 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
 
     work = [(s_id, i_id) for s_id, i_id in sorted(sample_map.items())
             if s_id in todo]
+    bbox_crops_dir = os.path.join(output_dir, "bbox_crops")
 
     def load_item(item):
         sample_id, image_id = item
         bg_paths = find_sample_backgrounds(result_root, dataset, shot,
                                            sample_id)
+        if not bg_paths:
+            return sample_id, image_id, [], None, None, None
+        if image_id is None:
+            # not in annotations: fallback recovery (ref :924-1077)
+            fb = fallback_sample_inputs(dataset, sample_id, result_root,
+                                        shot, bbox_crops_dir)
+            if fb is None:
+                raise ValueError(
+                    f"sample {sample_id} has no annotations and no "
+                    "target_input.png to fall back on")
+            original, bboxes, categories = fb
+            return sample_id, None, bg_paths, original, bboxes, categories
         info = coco.images[image_id]
         src = os.path.join(datasets_dir, dataset, "train", info.file_name)
         if not os.path.exists(src):
             src = os.path.join(datasets_dir, dataset, info.file_name)
-        original = None
-        if bg_paths:
-            original = imaging.load_rgb(src)
-            if original.size != (info.width, info.height):
-                original = original.resize((info.width, info.height))
-        return sample_id, image_id, bg_paths, original
+        original = imaging.load_rgb(src)
+        if original.size != (info.width, info.height):
+            original = original.resize((info.width, info.height))
+        return (sample_id, image_id, bg_paths, original,
+                coco.bboxes_for_image(image_id),
+                coco.category_names_for_image(image_id))
 
     logs: List[dict] = []
     reporter = ProgressReporter(len(work), label="compose")
@@ -330,7 +396,7 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
                           error=f"load failed: {loaded.__cause__}")
             reporter.update(ok=False, detail=sample_id)
             continue
-        sample_id, image_id, bg_paths, original = loaded
+        sample_id, image_id, bg_paths, original, bboxes, categories = loaded
         if not bg_paths:
             logger.warning("no generated backgrounds for %s", sample_id)
             manifest.mark(sample_id, STATUS_FAILED,
@@ -340,9 +406,7 @@ def process_dataset(stage: ComposeStage, dataset: str, shot: int,
         start = time.perf_counter()
         try:
             log = stage.process_sample(
-                dataset, shot, sample_id, original,
-                coco.bboxes_for_image(image_id),
-                coco.category_names_for_image(image_id),
+                dataset, shot, sample_id, original, bboxes, categories,
                 bg_paths,
                 os.path.join(outpaint_root, sample_id),
                 image_id=image_id)

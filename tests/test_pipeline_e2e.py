@@ -171,3 +171,31 @@ def test_compose_resolution_bucketing(runner, toy_env):
     from PIL import Image
     final = Image.open(log["outpainted_images"][0]["final_result_path"])
     assert final.size == original.size
+
+
+def test_compose_fallback_without_annotations(runner, toy_env):
+    """A sample present in the generate results but missing from the
+    annotations composes via the target_input.png fallback with a default
+    center bbox (ref :924-1077 semantics)."""
+    import dataclasses
+    import shutil
+    from domainrag_tpu.stages import compose as comp
+    root, _ = toy_env
+    # clone an existing result sample under an unannotated name
+    import glob as g
+    src = g.glob(str(root / "output/result/NEU-DET_1shot_retrieval/"
+                     "results_*/crazing_1"))[0]
+    orphan = os.path.join(os.path.dirname(src), "orphan_9")
+    if not os.path.isdir(orphan):
+        shutil.copytree(src, orphan)
+    stage = comp.ComposeStage(runner.fill_bundle, runner.cfg.compose,
+                              process_id="fb", seed=0)
+    result = comp.process_dataset(
+        stage, "NEU-DET", 1, str(root / "datasets"), str(root / "output"))
+    ids = [s["sample_id"] for s in result["samples"]]
+    assert "orphan_9" in ids
+    rec = next(s for s in result["samples"] if s["sample_id"] == "orphan_9")
+    assert rec["categories"] == ["unknown"]
+    # center 30% default bbox
+    x, y, w, h = rec["bbox_coords_list"][0]
+    assert w > 0 and h > 0
