@@ -19,6 +19,7 @@ import jax
 
 from ..core.config import PipelineConfig
 from ..core.log import StepTimer, get_logger
+from ..parallel.mesh import create_mesh
 from ..models import clip as clip_mod
 from ..models import lama as lama_mod
 from ..models import resnet_stem
@@ -92,6 +93,11 @@ class PipelineRunner:
                                              self.cfg.generate)
         corpus_paths = [p for paths in self.corpus_sources.values()
                         for p in paths]
+        # data-parallel sample batching when several devices are visible
+        mesh = None
+        if len(jax.devices()) > 1:
+            mesh = create_mesh(
+                model_parallel=self.cfg.mesh.model_parallel_size)
         out = {}
         with self.timer.span("stage/generate"):
             for dataset in self.cfg.datasets:
@@ -101,7 +107,8 @@ class PipelineRunner:
                         self.lamainpaint_dir, self.cfg.output_dir,
                         corpus_paths=corpus_paths, resume=resume,
                         worker_id=self.cfg.worker_id,
-                        num_workers=self.cfg.num_workers)
+                        num_workers=self.cfg.num_workers,
+                        mesh=mesh)
         return out
 
     def run_compose(self, resume: bool = False, failed_only: bool = False):

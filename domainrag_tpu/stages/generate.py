@@ -121,47 +121,57 @@ class GenerateStage:
         if images.ndim == 3:
             images = images[None]
 
-        from PIL import Image
         out_paths = []
         with timer.span("save"):
             for ref, img in zip(refs, images):
-                rank = ref.get("rank", 1)
-                out = os.path.join(sample_dir,
-                                   f"generated_image_rank{rank}.png")
-                Image.fromarray(img).save(out)
-                out_paths.append(out)
-                sim = ref.get("similarity")
-                sim_str = f"_sim{sim:.4f}" if sim is not None else ""
-                with open(os.path.join(
-                        sample_dir, f"ref_inforank{rank}{sim_str}.txt"),
-                        "w") as f:
-                    f.write(f"reference: {ref['image_path']}\n"
-                            f"target: {target_path}\n"
-                            f"rank: {rank}\nsimilarity: {sim}\n"
-                            f"source: {ref.get('source_dataset')}\n")
-                ref_copy = os.path.join(sample_dir,
-                                        f"ref_inputrank{rank}.jpg")
-                try:
-                    shutil.copy(ref["image_path"], ref_copy)
-                except OSError:
-                    pass
-            target_copy = os.path.join(sample_dir, "target_input.png")
-            if not os.path.exists(target_copy):
-                shutil.copy(target_path, target_copy)
-            params_file = os.path.join(sample_dir, "params.txt")
-            if not os.path.exists(params_file):
-                r = self.cfg.redux
-                with open(params_file, "w") as f:
-                    f.write(
-                        f"ref_image_scale: {r.ref_image_scale}\n"
-                        f"target_image_scale: {r.target_image_scale}\n"
-                        f"ref_text_scale: {r.ref_text_scale}\n"
-                        f"target_text_scale: {r.target_text_scale}\n"
-                        f"prompt: {r.prompt}\n"
-                        f"guidance_scale: {s.guidance_scale}\n"
-                        f"num_inference_steps: {s.num_steps}\n"
-                        f"size: {s.width}x{s.height}\nseed: {s.seed}\n")
+                out_paths.append(_write_rank_artifacts(
+                    sample_dir, ref, target_path, img))
+            _write_sample_provenance(sample_dir, target_path, self.cfg)
         return out_paths
+
+
+def _write_rank_artifacts(sample_dir: str, ref: dict, target_path: str,
+                          img: np.ndarray) -> str:
+    """One rank's image + provenance (ref :476-519 file set)."""
+    from PIL import Image
+    os.makedirs(sample_dir, exist_ok=True)
+    rank = ref.get("rank", 1)
+    out = os.path.join(sample_dir, f"generated_image_rank{rank}.png")
+    Image.fromarray(img).save(out)
+    sim = ref.get("similarity")
+    sim_str = f"_sim{sim:.4f}" if sim is not None else ""
+    with open(os.path.join(sample_dir,
+                           f"ref_inforank{rank}{sim_str}.txt"), "w") as f:
+        f.write(f"reference: {ref['image_path']}\n"
+                f"target: {target_path}\n"
+                f"rank: {rank}\nsimilarity: {sim}\n"
+                f"source: {ref.get('source_dataset')}\n")
+    try:
+        shutil.copy(ref["image_path"],
+                    os.path.join(sample_dir, f"ref_inputrank{rank}.jpg"))
+    except OSError:
+        pass
+    return out
+
+
+def _write_sample_provenance(sample_dir: str, target_path: str,
+                             cfg: GenerateConfig) -> None:
+    target_copy = os.path.join(sample_dir, "target_input.png")
+    if not os.path.exists(target_copy):
+        shutil.copy(target_path, target_copy)
+    params_file = os.path.join(sample_dir, "params.txt")
+    if not os.path.exists(params_file):
+        r, s = cfg.redux, cfg.sampling
+        with open(params_file, "w") as f:
+            f.write(
+                f"ref_image_scale: {r.ref_image_scale}\n"
+                f"target_image_scale: {r.target_image_scale}\n"
+                f"ref_text_scale: {r.ref_text_scale}\n"
+                f"target_text_scale: {r.target_text_scale}\n"
+                f"prompt: {r.prompt}\n"
+                f"guidance_scale: {s.guidance_scale}\n"
+                f"num_inference_steps: {s.num_steps}\n"
+                f"size: {s.width}x{s.height}\nseed: {s.seed}\n")
 
 
 def generate_samples_dp(stage: GenerateStage,
@@ -210,20 +220,15 @@ def generate_samples_dp(stage: GenerateStage,
     if images.ndim == 3:
         images = images[None]
 
-    from PIL import Image
     out: Dict[str, List[str]] = {}
     with timer.span("save"):
         for (item, ref), img in zip(pairs, images):
-            sample_dir = item["sample_dir"]
-            os.makedirs(sample_dir, exist_ok=True)
-            rank = ref.get("rank", 1)
-            path = os.path.join(sample_dir,
-                                f"generated_image_rank{rank}.png")
-            Image.fromarray(img).save(path)
+            path = _write_rank_artifacts(item["sample_dir"], ref,
+                                         item["target_path"], img)
             out.setdefault(item["sample_id"], []).append(path)
-            target_copy = os.path.join(sample_dir, "target_input.png")
-            if not os.path.exists(target_copy):
-                shutil.copy(item["target_path"], target_copy)
+        for item in items:
+            _write_sample_provenance(item["sample_dir"],
+                                     item["target_path"], stage.cfg)
     return out
 
 
@@ -241,8 +246,14 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                     resume: bool = False,
                     run_name: Optional[str] = None,
                     worker_id: int = 0,
-                    num_workers: int = 1) -> Dict[str, int]:
-    """One dataset x shot sweep (ref :766-1058)."""
+                    num_workers: int = 1,
+                    mesh=None,
+                    dp_samples: int = 0) -> Dict[str, int]:
+    """One dataset x shot sweep (ref :766-1058).
+
+    With ``mesh``, samples are processed in data-parallel groups of
+    ``dp_samples`` (default: enough samples to fill the data axis with
+    (sample, rank) rows) through :func:`generate_samples_dp`."""
     shot_dir = os.path.join(lamainpaint_dir, dataset, f"{shot}_shot")
     if not os.path.isdir(shot_dir):
         logger.error("missing shot dir %s", shot_dir)
@@ -264,10 +275,10 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
     counters = {"processed": 0, "failed": 0, "skipped": 0, "fallback": 0}
     todo = set(manifest.pending(samples, resume=resume))
     reporter = ProgressReporter(len(todo), label="generate")
+
+    # resolve refs for every pending sample first (cheap host work)
+    items = []
     for sample_id in samples:
-        if should_stop():
-            logger.warning("graceful stop requested during generate")
-            break
         if sample_id not in todo:
             counters["skipped"] += 1
             continue
@@ -281,29 +292,56 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                 counters["failed"] += 1
                 manifest.mark(sample_id, STATUS_FAILED,
                               error="no retrieval refs")
+                reporter.update(ok=False, detail=sample_id)
                 continue
             refs = random_fallback_refs(
                 corpus_paths, stage.cfg.top_ranks,
                 seed=hash((dataset, shot, sample_id)) & 0x7FFFFFFF)
             counters["fallback"] += 1
+        items.append({"sample_id": sample_id, "target_path": target_path,
+                      "refs": refs,
+                      "sample_dir": os.path.join(base_dir, sample_id)})
+
+    if mesh is not None:
+        if dp_samples <= 0:
+            data_size = mesh.shape.get("data", 1)
+            dp_samples = max(1, data_size // max(stage.cfg.top_ranks, 1))
+        groups = [items[i:i + dp_samples]
+                  for i in range(0, len(items), dp_samples)]
+    else:
+        groups = [[item] for item in items]
+
+    for group in groups:
+        if should_stop():
+            logger.warning("graceful stop requested during generate")
+            break
         start = time.perf_counter()
-        sample_dir = os.path.join(base_dir, sample_id)
         try:
-            paths = stage.generate_sample(sample_id, target_path, refs,
-                                          sample_dir)
-            counters["processed"] += 1
-            manifest.mark(sample_id, STATUS_DONE,
-                          outputs={"images": paths},
-                          elapsed_s=time.perf_counter() - start)
-            reporter.update(ok=True, detail=sample_id)
+            if mesh is not None:
+                paths_by_sample = generate_samples_dp(stage, group, mesh)
+            else:
+                item = group[0]
+                paths_by_sample = {item["sample_id"]: stage.generate_sample(
+                    item["sample_id"], item["target_path"], item["refs"],
+                    item["sample_dir"])}
+            elapsed = (time.perf_counter() - start) / max(len(group), 1)
+            for item in group:
+                paths = paths_by_sample.get(item["sample_id"], [])
+                counters["processed"] += 1
+                manifest.mark(item["sample_id"], STATUS_DONE,
+                              outputs={"images": paths}, elapsed_s=elapsed)
+                reporter.update(ok=True, detail=item["sample_id"])
         except Exception as e:
-            logger.exception("generation failed for %s", sample_id)
-            with open(os.path.join(sample_dir, "generation_failed.txt"),
-                      "w") as f:
-                f.write(str(e))
-            counters["failed"] += 1
-            manifest.mark(sample_id, STATUS_FAILED, error=str(e),
-                          elapsed_s=time.perf_counter() - start)
-            reporter.update(ok=False, detail=sample_id)
+            logger.exception("generation failed for group %s",
+                             [i["sample_id"] for i in group])
+            for item in group:
+                os.makedirs(item["sample_dir"], exist_ok=True)
+                with open(os.path.join(item["sample_dir"],
+                                       "generation_failed.txt"), "w") as f:
+                    f.write(str(e))
+                counters["failed"] += 1
+                manifest.mark(item["sample_id"], STATUS_FAILED,
+                              error=str(e))
+                reporter.update(ok=False, detail=item["sample_id"])
     logger.info("%s %d_shot generate: %s", dataset, shot, counters)
     return counters
