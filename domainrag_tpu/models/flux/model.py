@@ -286,8 +286,8 @@ def init(key, cfg: FluxConfig) -> Params:
 def apply(params: Params, img_tokens: jax.Array, txt_tokens: jax.Array,
           pooled: jax.Array, timestep: jax.Array,
           img_ids: jax.Array, txt_ids: jax.Array,
-          cfg: FluxConfig, guidance: Optional[jax.Array] = None
-          ) -> jax.Array:
+          cfg: FluxConfig, guidance: Optional[jax.Array] = None,
+          remat: bool = False) -> jax.Array:
     """One velocity prediction.
 
     img_tokens: (B, S_img, in_channels) packed latents (+fill conditioning);
@@ -295,6 +295,8 @@ def apply(params: Params, img_tokens: jax.Array, txt_tokens: jax.Array,
     pooled: (B, pooled_dim) CLIP pooled vector;
     timestep: (B,) sigma in [0,1]; guidance: (B,) distilled guidance scale;
     img_ids/txt_ids: (S, 3) RoPE position ids.
+    ``remat=True`` checkpoints every block (recompute activations in the
+    backward pass) — required for training the 12B model.
     Returns (B, S_img, out_channels) velocity.
     """
     dtype = img_tokens.dtype
@@ -317,12 +319,27 @@ def apply(params: Params, img_tokens: jax.Array, txt_tokens: jax.Array,
     cos = cos[None, None]            # (1, 1, S, D/2) broadcast over B, H
     sin = sin[None, None]
 
+    double_fn = _double_block
+    single_fn = _single_block
+    if remat:
+        double_fn = jax.checkpoint(
+            lambda p, i, t, v, c, s: _double_block(p, i, t, v, c, s, cfg),
+            static_argnums=())
+        single_fn = jax.checkpoint(
+            lambda p, x, v, c, s: _single_block(p, x, v, c, s, cfg))
+
     for block in params["double"]:
-        img, txt = _double_block(block, img, txt, vec, cos, sin, cfg)
+        if remat:
+            img, txt = double_fn(block, img, txt, vec, cos, sin)
+        else:
+            img, txt = double_fn(block, img, txt, vec, cos, sin, cfg)
 
     x = jnp.concatenate([txt, img], axis=1)
     for block in params["single"]:
-        x = _single_block(block, x, vec, cos, sin, cfg)
+        if remat:
+            x = single_fn(block, x, vec, cos, sin)
+        else:
+            x = single_fn(block, x, vec, cos, sin, cfg)
     img = x[:, txt.shape[1]:]
 
     mod = linear(params["final_mod"], jax.nn.silu(vec))

@@ -28,6 +28,7 @@ from ..parallel import sharding as sharding_mod
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-5
+    remat: bool = True              # checkpoint blocks (12B training)
     weight_decay: float = 0.01
     b1: float = 0.9
     b2: float = 0.999
@@ -66,7 +67,7 @@ def flow_match_loss(params, batch, key, flux_cfg: flux_mod.FluxConfig,
         if flux_cfg.guidance_embed else None
     v = flux_mod.apply(params, x_t, batch["txt"], batch["pooled"], t,
                        batch["img_ids"], batch["txt_ids"], flux_cfg,
-                       guidance=guidance)
+                       guidance=guidance, remat=train_cfg.remat)
     return jnp.mean(jnp.square(v.astype(jnp.float32)
                                - target.astype(jnp.float32)))
 
