@@ -355,24 +355,58 @@ def fill(bundle: FluxBundle, image: np.ndarray, mask: np.ndarray,
     255 = repaint, 0 = keep (the compose-stage keep-mask,
     outpainting_updown_sampling_redux.py:836-870). Returns uint8 image.
     """
-    h, w = image.shape[:2]
+    out = fill_batch(bundle, image[None],
+                     np.broadcast_to(mask, (1,) + mask.shape),
+                     prompt_embeds, pooled, num_steps=num_steps,
+                     guidance=guidance, strength=strength, seeds=[seed])
+    return out[0]
+
+
+def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
+               prompt_embeds: jax.Array, pooled: jax.Array,
+               num_steps: int = 50, guidance: float = 30.0,
+               strength: float = 0.75,
+               seeds: Sequence[int] = (0,),
+               mesh=None, data_axis: str = "data") -> np.ndarray:
+    """Batched Fill over same-shape samples: images (B, H, W, 3) uint8,
+    masks (B, H, W) uint8, prompt_embeds (B, S, D), pooled (B, P), one
+    seed per row. The whole batch denoises in one compiled graph; with
+    ``mesh`` the batch shards over the data axis (padded as needed)."""
+    b, h, w = images.shape[:3]
     lf = bundle.latent_factor
     grid_h, grid_w = h // lf, w // lf
     seq = grid_h * grid_w
     schedule = sched_mod.make_schedule(num_steps, image_seq_len=seq,
                                        strength=strength)
-    img = jnp.asarray(from_uint8(image)[None]).astype(bundle.compute_dtype)
-    m = jnp.asarray((mask.astype(np.float32) / 255.0) > 0.5,
-                    bundle.compute_dtype)[None]
+    img = jnp.asarray(from_uint8(images)).astype(bundle.compute_dtype)
+    m = jnp.asarray((masks.astype(np.float32) / 255.0) > 0.5,
+                    bundle.compute_dtype)
     c = bundle.vae_cfg.latent_channels * 4
-    noise = jax.random.normal(jax.random.PRNGKey(seed), (1, seq, c),
-                              jnp.float32).astype(bundle.compute_dtype)
+    noise = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(s), (seq, c), jnp.float32)
+        for s in seeds]).astype(bundle.compute_dtype)
+    embeds = prompt_embeds.astype(bundle.compute_dtype)
+    pooled_c = pooled.astype(bundle.compute_dtype)
+
+    n_real = b
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        d = mesh.shape[data_axis]
+        pad = (-n_real) % d
+        if pad:
+            def pad0(x):
+                return jnp.concatenate([x] + [x[:1]] * pad, axis=0)
+            img, m, noise = pad0(img), pad0(m), pad0(noise)
+            embeds, pooled_c = pad0(embeds), pad0(pooled_c)
+        shard = NamedSharding(mesh, P(data_axis))
+        img, m, noise, embeds, pooled_c = (
+            jax.device_put(x, shard) for x in (img, m, noise, embeds,
+                                               pooled_c))
+
     with _tp_context(bundle):
         out = _fill_core(
-            bundle.flux_params, bundle.vae_params, img, m, noise,
-            prompt_embeds.astype(bundle.compute_dtype),
-            pooled.astype(bundle.compute_dtype),
-            jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+            bundle.flux_params, bundle.vae_params, img, m, noise, embeds,
+            pooled_c, jnp.asarray(schedule.sigmas), jnp.float32(guidance),
             cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
             grid_h=grid_h, grid_w=grid_w, tp_tag=_tp_tag(bundle))
-    return to_uint8(np.asarray(out[0], np.float32))
+    return to_uint8(np.asarray(out, np.float32))[:n_real]

@@ -195,21 +195,47 @@ class ComposeStage:
             "outpainted_images": [],
         }
 
+        # all <=5 backgrounds of the sample denoise as ONE batch (the
+        # reference ran 5 sequential 50-step fills per sample)
+        import jax.numpy as jnp
+        size = self.bundle.siglip_cfg.image_size
+        with timer.span("prior"):
+            bg_images = [imaging.load_rgb(p) for p in bg_paths]
+            pxs = np.stack([imaging.siglip_preprocess(b, size)
+                            for b in bg_images])
+            txt1, pooled1 = flux_pipeline.encode_prompt(
+                self.bundle, [params.redux_prompt])
+            import domainrag_tpu.models.siglip as siglip_mod
+            import domainrag_tpu.models.redux as redux_mod
+            sig = siglip_mod.apply(self.bundle.siglip_params,
+                                   jnp.asarray(pxs), self.bundle.siglip_cfg)
+            img_embeds = redux_mod.apply(self.bundle.redux_params, sig)
+            n_bg = len(bg_paths)
+            txt = jnp.broadcast_to(txt1, (n_bg,) + txt1.shape[1:])
+            pooled_b = jnp.broadcast_to(pooled1, (n_bg,) + pooled1.shape[1:])
+            embeds_all = jnp.concatenate([txt, img_embeds], axis=1) \
+                * params.image_prompt_scale
+            pooled_all = pooled_b * 1.0
+
+        seeds = [self.seed if self.seed is not None
+                 else random.randint(0, 2**32 - 1) for _ in bg_paths]
+        with timer.span("fill"):
+            results = flux_pipeline.fill_batch(
+                self.bundle, np.broadcast_to(
+                    processed_np, (n_bg,) + processed_np.shape),
+                np.broadcast_to(keep_mask, (n_bg,) + keep_mask.shape),
+                embeds_all, pooled_all,
+                num_steps=self.cfg.num_steps,
+                guidance=params.guidance_scale,
+                strength=params.strength, seeds=seeds)
+            if pad_h or pad_w:
+                results = results[:, :aligned_h, :aligned_w]
+
         for i, bg_path in enumerate(bg_paths):
             suffix = rank_suffix(bg_path, i)
-            with timer.span("prior"):
-                bg_image = imaging.load_rgb(bg_path)
-                embeds, pooled = self._prior_for_bg(bg_image, dataset)
-            seed = self.seed if self.seed is not None else \
-                random.randint(0, 2**32 - 1)
-            with timer.span("fill"):
-                result = flux_pipeline.fill(
-                    self.bundle, processed_np, keep_mask, embeds, pooled,
-                    num_steps=self.cfg.num_steps,
-                    guidance=params.guidance_scale,
-                    strength=params.strength, seed=seed)
-                if pad_h or pad_w:
-                    result = result[:aligned_h, :aligned_w]
+            bg_image = bg_images[i]
+            seed = seeds[i]
+            result = results[i]
             with timer.span("save"):
                 mask_path = os.path.join(
                     outpaint_dir, f"{sample_id}_mask{suffix}.png")
