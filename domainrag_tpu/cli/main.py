@@ -80,7 +80,9 @@ def _build_runner(args):
     corpus = _corpus_sources(args.corpus)
     if args.tiny_models:
         from ..pipeline.orchestrator import build_tiny_runner
-        return build_tiny_runner(cfg, corpus)
+        runner = build_tiny_runner(cfg, corpus)
+        runner.force_recompute = args.force_recompute
+        return runner
     if args.checkpoints:
         from ..models.convert import build_runner_from_checkpoints
         return build_runner_from_checkpoints(args.checkpoints, cfg, corpus)
@@ -120,6 +122,8 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host sharding: this worker's index")
     p.add_argument("--num_workers", type=int, default=1,
                    help="multi-host sharding: total workers")
+    p.add_argument("--force_recompute", action="store_true",
+                   help="ignore feature caches (reference --force_* flags)")
 
 
 def main(argv=None) -> int:

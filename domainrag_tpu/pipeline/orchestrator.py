@@ -48,6 +48,7 @@ class PipelineRunner:
     corpus_sources: Dict[str, List[str]] = dataclasses.field(
         default_factory=dict)                   # source -> image paths
     timer: StepTimer = dataclasses.field(default_factory=StepTimer)
+    force_recompute: bool = False               # ignore feature caches
 
     # -- stage entries -----------------------------------------------------
     @property
@@ -70,7 +71,8 @@ class PipelineRunner:
         feats, paths = {}, {}
         for source, image_paths in self.corpus_sources.items():
             f, kept = retrieve_stage.load_or_compute_source_features(
-                self.retrieval_dir, source, image_paths, self.clip_encoder)
+                self.retrieval_dir, source, image_paths, self.clip_encoder,
+                force_recompute=self.force_recompute)
             feats[source], paths[source] = f, kept
         return retrieve_stage.EmbeddingBank.from_sources(feats, paths)
 

@@ -59,18 +59,40 @@ class ClipImageEncoder:
                      on_error: Optional[Callable[[str, Exception], None]] = None
                      ) -> tuple[np.ndarray, List[str]]:
         """Load+preprocess+embed; skips unreadable files (the reference
-        warns and continues, ref :288-292). Returns (features, kept_paths)."""
-        pixels, kept = [], []
-        for path in paths:
-            try:
-                pixels.append(self.preprocess(imaging.load_rgb(path)))
-                kept.append(path)
-            except Exception as e:  # unreadable/corrupt image
-                if on_error:
-                    on_error(path, e)
-        if not pixels:
+        warns and continues, ref :288-292). Returns (features, kept_paths).
+
+        Host decode/preprocess of the NEXT chunk overlaps the device encode
+        of the current one (double buffering) — the corpus build is the
+        retrieval stage's dominant cost at 10^5+ images."""
+        from ..core.prefetch import PrefetchError, prefetch
+
+        bs = self.batch_size
+        chunks = [list(paths[i:i + bs]) for i in range(0, len(paths), bs)]
+
+        def load_chunk(chunk):
+            pixels, kept = [], []
+            for path in chunk:
+                try:
+                    pixels.append(self.preprocess(imaging.load_rgb(path)))
+                    kept.append(path)
+                except Exception as e:  # unreadable/corrupt image
+                    if on_error:
+                        on_error(path, e)
+            return pixels, kept
+
+        feats: List[np.ndarray] = []
+        kept_all: List[str] = []
+        for loaded in prefetch(chunks, load_chunk, depth=2):
+            if isinstance(loaded, PrefetchError):
+                continue
+            pixels, kept = loaded
+            if not pixels:
+                continue
+            feats.append(self.encode_arrays(np.stack(pixels)))
+            kept_all.extend(kept)
+        if not feats:
             return np.zeros((0, self.cfg.projection_dim), np.float32), []
-        return self.encode_arrays(np.stack(pixels)), kept
+        return np.concatenate(feats, axis=0), kept_all
 
 
 class StyleEncoder:
