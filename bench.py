@@ -52,10 +52,14 @@ def main() -> None:
     from domainrag_tpu.models.flux import model as flux
     from domainrag_tpu.models.flux import scheduler as sched
 
+    import os
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     if on_tpu:
         depth_double, depth_single = 4, 8   # ~2.5B, fits 16 GB HBM in bf16
+        override = os.environ.get("BENCH_DEPTHS")  # e.g. "6,12" for the
+        if override:                                # extrapolation check
+            depth_double, depth_single = map(int, override.split(","))
         grid = HEIGHT // 16                  # 64 -> 4096 image tokens
         s_txt = 512
     else:  # CPU smoke mode so the script always works

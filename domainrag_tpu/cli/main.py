@@ -75,6 +75,15 @@ def _build_cfg(args) -> PipelineConfig:
     )
 
 
+def _pretrained_specs(args):
+    specs = {}
+    for spec in getattr(args, "corpus_features", []) or []:
+        name, _, rest = spec.partition("=")
+        feat, _, paths = rest.partition(":")
+        specs[name] = (feat, paths)
+    return specs
+
+
 def _build_runner(args):
     cfg = _build_cfg(args)
     corpus = _corpus_sources(args.corpus)
@@ -82,6 +91,7 @@ def _build_runner(args):
         from ..pipeline.orchestrator import build_tiny_runner
         runner = build_tiny_runner(cfg, corpus)
         runner.force_recompute = args.force_recompute
+        runner.pretrained_features = _pretrained_specs(args)
         return runner
     if args.checkpoints:
         from ..models.convert import build_runner_from_checkpoints
@@ -124,6 +134,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host sharding: total workers")
     p.add_argument("--force_recompute", action="store_true",
                    help="ignore feature caches (reference --force_* flags)")
+    p.add_argument("--corpus_features", nargs="*", default=[],
+                   help="precomputed bank: name=features.npy|.pt:paths.json "
+                        "(reference --pretrained_coco_features migration)")
 
 
 def main(argv=None) -> int:

@@ -49,6 +49,10 @@ class PipelineRunner:
         default_factory=dict)                   # source -> image paths
     timer: StepTimer = dataclasses.field(default_factory=StepTimer)
     force_recompute: bool = False               # ignore feature caches
+    # migration path: precomputed reference caches per source,
+    # {source: (features.npy|.pt, paths.json)} — used instead of encoding
+    pretrained_features: Dict[str, tuple] = dataclasses.field(
+        default_factory=dict)
 
     # -- stage entries -----------------------------------------------------
     @property
@@ -69,7 +73,12 @@ class PipelineRunner:
 
     def _build_bank(self) -> retrieve_stage.EmbeddingBank:
         feats, paths = {}, {}
+        for source, spec in self.pretrained_features.items():
+            f, kept = retrieve_stage.load_pretrained_features(*spec)
+            feats[source], paths[source] = f, kept
         for source, image_paths in self.corpus_sources.items():
+            if source in feats:
+                continue
             f, kept = retrieve_stage.load_or_compute_source_features(
                 self.retrieval_dir, source, image_paths, self.clip_encoder,
                 force_recompute=self.force_recompute)

@@ -23,7 +23,7 @@ import glob
 import json
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +69,45 @@ class EmbeddingBank:
             raise ValueError("no corpus features available")
         return cls(features=jax.device_put(np.concatenate(feats, axis=0)),
                    paths=paths, sources=sources)
+
+
+def load_pretrained_features(features_path: str, paths_path: str
+                             ) -> Tuple[np.ndarray, List[str]]:
+    """Load a feature bank produced by the reference (migration path,
+    ref :509-629): ``.npy`` arrays or torch ``.pt`` files (either a raw
+    tensor or a dict with 'features'/'embeddings' + 'paths'), plus a JSON
+    path list."""
+    if features_path.endswith(".pt"):
+        import torch
+        data = torch.load(features_path, map_location="cpu",
+                          weights_only=False)
+        paths: Optional[List[str]] = None
+        if isinstance(data, dict):
+            tensor = None
+            for key in ("features", "embeddings", "feats"):
+                if key in data:
+                    tensor = data[key]
+                    break
+            if tensor is None:
+                raise ValueError(
+                    f"{features_path}: no features/embeddings key in dict")
+            if "paths" in data:
+                paths = list(data["paths"])
+        else:
+            tensor = data
+        feats = np.asarray(tensor.float().numpy()
+                           if hasattr(tensor, "float") else tensor,
+                           np.float32)
+    else:
+        feats = np.load(features_path).astype(np.float32)
+        paths = None
+    if paths is None:
+        with open(paths_path) as f:
+            paths = json.load(f)
+    if len(feats) != len(paths):
+        raise ValueError(
+            f"feature/path length mismatch: {len(feats)} vs {len(paths)}")
+    return feats, paths
 
 
 def bank_cache_files(results_dir: str, source: str) -> Tuple[str, str]:

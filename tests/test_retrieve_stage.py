@@ -138,3 +138,32 @@ def test_missing_shot_dir(tmp_path, encoders):
         "NOPE", 1, bank, clip_enc, style_enc,
         str(tmp_path / "missing"), str(tmp_path / "rr"))
     assert out == {}
+
+
+def test_load_pretrained_features(tmp_path, rng):
+    """Reference-cache migration: .npy and .pt banks (ref :509-629)."""
+    import torch
+    from domainrag_tpu.stages.retrieve import load_pretrained_features
+    feats = rng.standard_normal((5, 8)).astype(np.float32)
+    paths = [f"img{i}.jpg" for i in range(5)]
+    npy = tmp_path / "f.npy"
+    pj = tmp_path / "p.json"
+    np.save(npy, feats)
+    with open(pj, "w") as f:
+        json.dump(paths, f)
+    f1, p1 = load_pretrained_features(str(npy), str(pj))
+    np.testing.assert_array_equal(f1, feats)
+    assert p1 == paths
+
+    pt = tmp_path / "f.pt"
+    torch.save({"features": torch.from_numpy(feats), "paths": paths},
+               str(pt))
+    f2, p2 = load_pretrained_features(str(pt), "")
+    np.testing.assert_allclose(f2, feats, rtol=1e-6)
+    assert p2 == paths
+
+    # raw tensor .pt with external paths json
+    torch.save(torch.from_numpy(feats), str(pt))
+    f3, p3 = load_pretrained_features(str(pt), str(pj))
+    np.testing.assert_allclose(f3, feats, rtol=1e-6)
+    assert p3 == paths
