@@ -46,6 +46,58 @@ def build_proxy(depth_double: int, depth_single: int):
     return cfg, params
 
 
+def build_full_int8():
+    """The FULL 19-double/38-single 12B MMDiT with weight-only int8
+    (models.quant): ~12 GB of weights fits the single chip, so the
+    headline is measured end-to-end, not extrapolated. Blocks are
+    initialized on the host CPU one at a time, quantized, and streamed to
+    the device (a monolithic f32 init would need 48 GB)."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models import quant
+    from domainrag_tpu.models.flux import model as flux
+
+    cfg = flux.FLUX_DEV
+    cpu = jax.devices("cpu")[0] if jax.devices("cpu") else None
+    device = jax.devices()[0]
+
+    def to_dev(tree):
+        tree = quant.quantize_tree(jax.device_get(tree), min_size=1 << 16)
+        tree = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+        return jax.device_put(tree, device)
+
+    key = jax.random.PRNGKey(0)
+    n_keys = 8 + cfg.depth_double + cfg.depth_single
+    with jax.default_device(cpu):
+        ks = jax.random.split(key, n_keys)
+        params = {
+            "img_in": to_dev(flux.linear_init(ks[0], cfg.in_channels,
+                                              cfg.hidden)),
+            "txt_in": to_dev(flux.linear_init(ks[1], cfg.text_dim,
+                                              cfg.hidden)),
+            "time_in": to_dev(flux._mlp_embedder_init(
+                ks[2], cfg.time_embed_dim, cfg.hidden)),
+            "vector_in": to_dev(flux._mlp_embedder_init(
+                ks[3], cfg.pooled_dim, cfg.hidden)),
+            "guidance_in": to_dev(flux._mlp_embedder_init(
+                ks[6], cfg.time_embed_dim, cfg.hidden)),
+            "final_mod": to_dev(flux.linear_init(ks[4], cfg.hidden,
+                                                 2 * cfg.hidden)),
+            "final_proj": to_dev(flux.linear_init(ks[5], cfg.hidden,
+                                                  cfg.out_channels)),
+            "double": [], "single": [],
+        }
+        for i in range(cfg.depth_double):
+            params["double"].append(
+                to_dev(flux._double_block_init(ks[8 + i], cfg)))
+        for i in range(cfg.depth_single):
+            params["single"].append(to_dev(flux._single_block_init(
+                ks[8 + cfg.depth_double + i], cfg)))
+    return cfg, params
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -55,18 +107,26 @@ def main() -> None:
     import os
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+    quantized = on_tpu and os.environ.get("BENCH_QUANT", "1") != "0"
     if on_tpu:
         depth_double, depth_single = 4, 8   # ~2.5B, fits 16 GB HBM in bf16
-        override = os.environ.get("BENCH_DEPTHS")  # e.g. "6,12" for the
+        override = os.environ.get("BENCH_DEPTHS")  # e.g. "2,4" for the
         if override:                                # extrapolation check
             depth_double, depth_single = map(int, override.split(","))
+            quantized = False
         grid = HEIGHT // 16                  # 64 -> 4096 image tokens
         s_txt = 512
     else:  # CPU smoke mode so the script always works
         depth_double, depth_single = 1, 2
         grid, s_txt = 8, 16
+        quantized = False
 
-    cfg, params = build_proxy(depth_double, depth_single)
+    if quantized:
+        # full 12B with int8 weights: measured, no extrapolation
+        cfg, params = build_full_int8()
+        depth_double, depth_single = cfg.depth_double, cfg.depth_single
+    else:
+        cfg, params = build_proxy(depth_double, depth_single)
     seq = grid * grid
     schedule = sched.make_schedule(NUM_STEPS, image_seq_len=seq)
     sigmas = jnp.asarray(schedule.sigmas)
@@ -105,17 +165,23 @@ def main() -> None:
         _ = np.asarray(out[0, 0, :1])     # forces completion
     elapsed = (time.perf_counter() - t0) / reps
 
-    # scale proxy blocks -> full model blocks (cost linear in depth; double
-    # blocks cost ~2x a single block at same hidden width)
-    proxy_cost = depth_double * 2.0 + depth_single
-    full_cost = 19 * 2.0 + 38
-    full_time = elapsed * full_cost / proxy_cost
-    images_per_min = 60.0 / full_time
+    if quantized:
+        images_per_min = 60.0 / elapsed
+        metric = ("flux-1024px-28step-images-per-min-per-chip"
+                  "(12B-int8-weights-measured)")
+    else:
+        # scale proxy blocks -> full model blocks (cost linear in depth;
+        # double blocks cost ~2x a single block at same hidden width)
+        proxy_cost = depth_double * 2.0 + depth_single
+        full_cost = 19 * 2.0 + 38
+        full_time = elapsed * full_cost / proxy_cost
+        images_per_min = 60.0 / full_time
+        metric = ("flux-1024px-28step-images-per-min-per-chip"
+                  f"(12B-extrapolated-from-{depth_double}d{depth_single}s"
+                  "-proxy)")
 
     result = {
-        "metric": "flux-1024px-28step-images-per-min-per-chip"
-                  f"(12B-extrapolated-from-{depth_double}d{depth_single}s"
-                  "-proxy)",
+        "metric": metric,
         "value": round(images_per_min, 4),
         "unit": "images/min/chip",
         "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 3),

@@ -46,8 +46,15 @@ def linear_init(key, d_in, d_out, bias=True, std=None) -> Params:
 # backend matmul precision truncates f32 to bf16 passes on both CPU (oneDNN)
 # and TPU, which breaks retrieval index exactness.
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype),
-                preferred_element_type=x.dtype, precision="highest")
+    if "w_q" in p:
+        # weight-only int8 (models.quant): w = w_q * diag(s), so
+        # y = (x @ w_q) * s — the dequantized weight never materializes
+        y = jnp.dot(x, p["w_q"].astype(x.dtype),
+                    preferred_element_type=x.dtype)
+        y = y * p["w_s"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype),
+                    preferred_element_type=x.dtype, precision="highest")
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
