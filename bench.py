@@ -104,6 +104,11 @@ def main() -> None:
     from domainrag_tpu.models.flux import model as flux
     from domainrag_tpu.models.flux import scheduler as sched
 
+    # persistent compile cache: the 57-block graph costs minutes to build
+    # through the remote-compile tunnel on a cold run
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import os
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
