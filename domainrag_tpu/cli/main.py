@@ -75,6 +75,14 @@ def _build_cfg(args) -> PipelineConfig:
     )
 
 
+def _quantize_runner(runner):
+    from ..models.quant import quantize_tree
+    runner.flux_bundle.flux_params = quantize_tree(
+        runner.flux_bundle.flux_params)
+    runner.fill_bundle.flux_params = quantize_tree(
+        runner.fill_bundle.flux_params)
+
+
 def _pretrained_specs(args):
     specs = {}
     for spec in getattr(args, "corpus_features", []) or []:
@@ -92,10 +100,17 @@ def _build_runner(args):
         runner = build_tiny_runner(cfg, corpus)
         runner.force_recompute = args.force_recompute
         runner.pretrained_features = _pretrained_specs(args)
+        if args.int8:
+            _quantize_runner(runner)
         return runner
     if args.checkpoints:
         from ..models.convert import build_runner_from_checkpoints
-        return build_runner_from_checkpoints(args.checkpoints, cfg, corpus)
+        runner = build_runner_from_checkpoints(args.checkpoints, cfg, corpus)
+        runner.force_recompute = args.force_recompute
+        runner.pretrained_features = _pretrained_specs(args)
+        if args.int8:
+            _quantize_runner(runner)
+        return runner
     raise SystemExit(
         "provide --checkpoints DIR (converted weights) or --tiny-models")
 
@@ -137,6 +152,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--corpus_features", nargs="*", default=[],
                    help="precomputed bank: name=features.npy|.pt:paths.json "
                         "(reference --pretrained_coco_features migration)")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 for the Flux models (12B fits "
+                        "one chip; see models/quant.py)")
 
 
 def main(argv=None) -> int:
