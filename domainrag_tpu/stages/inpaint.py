@@ -55,17 +55,32 @@ class LamaRunner:
 
     def inpaint(self, image_u8: np.ndarray, mask_u8: np.ndarray
                 ) -> np.ndarray:
-        h, w = image_u8.shape[:2]
-        ph, pw = self._pad_shape(h, w)
-        img = np.zeros((1, ph, pw, 3), np.float32)
-        img[0, :h, :w] = image_u8.astype(np.float32) / 255.0
-        msk = np.zeros((1, ph, pw, 1), np.float32)
-        msk[0, :h, :w, 0] = (mask_u8 > 127).astype(np.float32)
-        out = self._jit(self.params,
-                        jnp.asarray(img, self.dtype),
-                        jnp.asarray(msk, self.dtype))
-        out = np.asarray(out[0], np.float32)[:h, :w]
-        return np.clip(out * 255.0, 0, 255).astype(np.uint8)
+        return self.inpaint_batch([image_u8], [mask_u8])[0]
+
+    def inpaint_batch(self, images_u8, masks_u8) -> list:
+        """Same-bucket batch: all images pad to the max dims in the batch
+        and run as one forward (callers group by padded shape)."""
+        n = len(images_u8)
+        dims = [self._pad_shape(im.shape[0], im.shape[1])
+                for im in images_u8]
+        ph = max(d[0] for d in dims)
+        pw = max(d[1] for d in dims)
+        img = np.zeros((n, ph, pw, 3), np.float32)
+        msk = np.zeros((n, ph, pw, 1), np.float32)
+        for i, (im, ma) in enumerate(zip(images_u8, masks_u8)):
+            h, w = im.shape[:2]
+            img[i, :h, :w] = im.astype(np.float32) / 255.0
+            msk[i, :h, :w, 0] = (ma > 127).astype(np.float32)
+        out = np.asarray(self._jit(self.params,
+                                   jnp.asarray(img, self.dtype),
+                                   jnp.asarray(msk, self.dtype)),
+                         np.float32)
+        results = []
+        for i, im in enumerate(images_u8):
+            h, w = im.shape[:2]
+            results.append(np.clip(out[i, :h, :w] * 255.0, 0,
+                                   255).astype(np.uint8))
+        return results
 
 
 def process_dataset(dataset: str, shot: int, runner: LamaRunner,

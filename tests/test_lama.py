@@ -70,3 +70,27 @@ def test_inpaint_image_wrapper(tiny, rng):
 def test_pad_to_multiple():
     assert lama.pad_to_multiple(30, 37) == (32, 40)
     assert lama.pad_to_multiple(64, 64) == (64, 64)
+
+
+def test_runner_batch_matches_single(tiny, rng):
+    from domainrag_tpu.stages.inpaint import LamaRunner
+    cfg, params = tiny
+    runner = LamaRunner(params, cfg, bucket_multiple=8)
+    imgs = [rng.integers(0, 255, (30, 37, 3), dtype=np.uint8),
+            rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)]
+    masks = []
+    for im in imgs:
+        m = np.zeros(im.shape[:2], np.uint8)
+        m[5:15, 5:20] = 255
+        masks.append(m)
+    batch = runner.inpaint_batch(imgs, masks)
+    for im, ma, out in zip(imgs, masks, batch):
+        assert out.shape == im.shape
+    # note: zero-padding to the batch max dims changes FFT context, so
+    # per-image and batch outputs agree exactly only for same-bucket
+    # members; check the same-shape case strictly
+    single = runner.inpaint(imgs[1], masks[1])
+    same_bucket = runner.inpaint_batch([imgs[1], imgs[1]],
+                                       [masks[1], masks[1]])
+    np.testing.assert_array_equal(single, same_bucket[0])
+    np.testing.assert_array_equal(same_bucket[0], same_bucket[1])
