@@ -72,3 +72,14 @@ def test_denoise_linear_model_reaches_zero():
     x = jnp.full((4,), 5.0)
     out = sch.denoise(model, x, sched)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-4)
+
+
+def test_strength_zero_and_full_edges():
+    """strength=0 -> zero denoise steps; strength=1 -> full schedule."""
+    s0 = sch.make_schedule(10, image_seq_len=256, strength=0.0)
+    assert s0.num_steps == 0 and s0.start_index == 10
+    x = jnp.ones((3,))
+    out = sch.denoise(lambda x, s: x * 0 + 99, x, s0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    s1 = sch.make_schedule(10, image_seq_len=256, strength=1.0)
+    assert s1.num_steps == 10 and s1.start_index == 0
