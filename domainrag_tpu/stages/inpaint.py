@@ -41,10 +41,12 @@ class LamaRunner:
     """Bucketed jit wrapper around the LaMa forward."""
 
     def __init__(self, params, cfg: lama.LamaConfig,
-                 bucket_multiple: int = 8, compute_dtype=jnp.float32):
+                 bucket_multiple: int = 8, compute_dtype=jnp.float32,
+                 batch_size: int = 1):
         self.params = params
         self.cfg = cfg
         self.bucket = max(bucket_multiple, 8)
+        self.batch_size = max(batch_size, 1)
         self.dtype = compute_dtype
         self._jit = jax.jit(
             functools.partial(lama.apply, cfg=cfg))
@@ -108,49 +110,69 @@ def process_dataset(dataset: str, shot: int, runner: LamaRunner,
     counters = {"processed": 0, "skipped": 0, "failed": 0}
     category_mapping: Dict[str, str] = {}
 
+    def load_one(image_id):
+        info = coco.images[image_id]
+        src = os.path.join(dataset_dir, "train", info.file_name)
+        if not os.path.exists(src):
+            src = os.path.join(dataset_dir, info.file_name)
+        with timer.span("load"):
+            image = imaging.load_rgb(src)
+            # resize pixels to the annotation dims when they disagree
+            # (ref :173-175)
+            if image.size != (info.width, info.height):
+                image = image.resize((info.width, info.height))
+        with timer.span("mask"):
+            mask = imaging.inpaint_mask_from_bboxes(
+                info.width, info.height, coco.bboxes_for_image(image_id))
+        return np.asarray(image), mask
+
+    # group work by padded-shape bucket so same-bucket images batch through
+    # one forward (only meaningful with bucket_multiple > 8)
+    pending_ids = []
     for image_id in coco.image_ids():
         info = coco.images[image_id]
         sample_id = os.path.splitext(info.file_name)[0]
         cats = coco.category_names_for_image(image_id)
         if cats:
             category_mapping[sample_id] = cats[0]
-        if str(image_id) not in todo:
+        if str(image_id) not in todo or not coco.bboxes_for_image(image_id):
             counters["skipped"] += 1
             continue
-        bboxes = coco.bboxes_for_image(image_id)
-        if not bboxes:
-            counters["skipped"] += 1
-            continue
-        start = time.perf_counter()
-        try:
-            src = os.path.join(dataset_dir, "train", info.file_name)
-            if not os.path.exists(src):
-                src = os.path.join(dataset_dir, info.file_name)
-            with timer.span("load"):
-                image = imaging.load_rgb(src)
-                # resize pixels to the annotation dims when they disagree
-                # (ref :173-175)
-                if image.size != (info.width, info.height):
-                    image = image.resize((info.width, info.height))
-            with timer.span("mask"):
-                mask = imaging.inpaint_mask_from_bboxes(
-                    info.width, info.height, bboxes)
-            with timer.span("lama"):
-                result = runner.inpaint(np.asarray(image), mask)
-            with timer.span("save"):
-                out_path = os.path.join(out_dir, info.file_name)
-                os.makedirs(os.path.dirname(out_path) or out_dir,
-                            exist_ok=True)
-                Image.fromarray(result).save(out_path)
-            counters["processed"] += 1
-            manifest.mark(str(image_id), STATUS_DONE,
-                          outputs={"path": out_path},
-                          elapsed_s=time.perf_counter() - start)
-        except Exception as e:
-            logger.exception("inpaint failed for image %s", image_id)
-            counters["failed"] += 1
-            manifest.mark(str(image_id), STATUS_FAILED, error=str(e),
-                          elapsed_s=time.perf_counter() - start)
+        pending_ids.append(image_id)
+
+    groups: Dict[tuple, list] = {}
+    for image_id in pending_ids:
+        info = coco.images[image_id]
+        groups.setdefault(runner._pad_shape(info.height, info.width),
+                          []).append(image_id)
+
+    for shape, ids in sorted(groups.items()):
+        for chunk_start in range(0, len(ids), max(runner.batch_size, 1)):
+            chunk = ids[chunk_start:chunk_start + runner.batch_size]
+            start = time.perf_counter()
+            try:
+                loaded = [load_one(i) for i in chunk]
+                with timer.span("lama"):
+                    results = runner.inpaint_batch(
+                        [im for im, _ in loaded], [m for _, m in loaded])
+                with timer.span("save"):
+                    per = (time.perf_counter() - start) / len(chunk)
+                    for image_id, result in zip(chunk, results):
+                        info = coco.images[image_id]
+                        out_path = os.path.join(out_dir, info.file_name)
+                        os.makedirs(os.path.dirname(out_path) or out_dir,
+                                    exist_ok=True)
+                        Image.fromarray(result).save(out_path)
+                        counters["processed"] += 1
+                        manifest.mark(str(image_id), STATUS_DONE,
+                                      outputs={"path": out_path},
+                                      elapsed_s=per)
+            except Exception as e:
+                logger.exception("inpaint failed for images %s", chunk)
+                for image_id in chunk:
+                    counters["failed"] += 1
+                    manifest.mark(str(image_id), STATUS_FAILED,
+                                  error=str(e))
 
     # retrieval-stage sidecar
     import json
