@@ -172,6 +172,22 @@ import threading as _threading
 _TP_CONTEXT = _threading.local()
 
 
+_FORCE_REFERENCE = _threading.local()
+
+
+@_contextlib.contextmanager
+def dense_attention():
+    """Force the differentiable dense path inside this context. The Pallas
+    flash kernel has no VJP yet (roadmap), so TRAINING must run dense
+    attention — flow_match wraps its loss with this."""
+    prev = getattr(_FORCE_REFERENCE, "value", False)
+    _FORCE_REFERENCE.value = True
+    try:
+        yield
+    finally:
+        _FORCE_REFERENCE.value = prev
+
+
 @_contextlib.contextmanager
 def tp_attention(mesh, axis: str = "model"):
     """Within this context, attention() runs head-sharded over ``axis``."""
@@ -191,7 +207,8 @@ def _tp_sharded(q, k, v, causal: bool):
         return None
 
     def local(q, k, v):
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and \
+                not getattr(_FORCE_REFERENCE, "value", False):
             return flash_attention(q, k, v, causal=causal)
         return attention_reference(q, k, v, causal=causal)
 
@@ -207,6 +224,8 @@ def attention(q, k, v, causal: bool = False, mask=None,
     """Dispatch: Pallas flash kernel on TPU (no custom mask), dense
     reference otherwise; head-sharded via shard_map inside a
     :func:`tp_attention` context. ``mask`` forces the reference path."""
+    force_reference = force_reference or getattr(_FORCE_REFERENCE, "value",
+                                                 False)
     if mask is None and getattr(_TP_CONTEXT, "value", None) is not None:
         out = _tp_sharded(q, k, v, causal)
         if out is not None:

@@ -60,3 +60,18 @@ def test_flux_tp_forward_with_tp_attention(mesh_tp, rng):
         fn = jax.jit(lambda p, *a: flux.apply(p, *a, cfg, guidance=g))
         out = np.asarray(fn(sharded, img, txt, pooled, t, iid, tid))
     np.testing.assert_allclose(out, ref, rtol=5e-4, atol=5e-5)
+
+
+def test_dense_attention_context(rng):
+    """dense_attention() forces the differentiable path (training on TPU
+    must not route through the VJP-less Pallas kernel)."""
+    import jax.numpy as jnp
+    q = jnp.asarray(rng.standard_normal((1, 2, 16, 8)).astype(np.float32))
+    with attn.dense_attention():
+        # grad through attention works in this context on any backend
+        def loss(q):
+            return jnp.sum(attn.attention(q, q, q) ** 2)
+        g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    # context restores
+    assert not getattr(attn._FORCE_REFERENCE, "value", False)
