@@ -38,7 +38,7 @@ def attention_reference(q, k, v, causal: bool = False):
                       preferred_element_type=q.dtype, precision="highest")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_buf, l_buf,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_buf, l_buf,
                   *, scale: float, kv_len: int, block_kv: int,
                   causal: bool, block_q: int):
     ik = pl.program_id(2)
@@ -86,46 +86,43 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc, m_buf, l_buf,
         # guard l=0 (a row with every position masked) against 0/0
         denom = jnp.maximum(l_buf[:][:, :1], 1e-30)
         o_ref[0] = (acc[:] / denom).astype(o_ref.dtype)
+        lse_ref[0] = m_buf[:] + jnp.log(jnp.maximum(l_buf[:], 1e-30))
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_kv",
-                                             "interpret"))
-def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    causal: bool = False,
-                    block_q: int = 256, block_kv: int = 512,
-                    interpret: bool = False) -> jax.Array:
-    """(B, H, Sq, D) x (B, H, Skv, D) -> (B, H, Sq, D).
-
-    D is padded to a multiple of 128 lanes; seq dims padded to the block
-    sizes with masking, so arbitrary (even prime) lengths are exact.
-    """
+def _plan(q, k, block_q, block_kv):
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
-    scale = 1.0 / math.sqrt(d)
-
     d_pad = _round_up(d, 128)
     bq = min(block_q, _round_up(s_q, 8))
     bkv = min(block_kv, _round_up(s_kv, 128))
-    sq_pad = _round_up(s_q, bq)
-    skv_pad = _round_up(s_kv, bkv)
+    return (b, h, s_q, s_kv, d, d_pad, bq, bkv,
+            _round_up(s_q, bq), _round_up(s_kv, bkv))
 
-    def pad(x, s_pad):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
-                           (0, d_pad - d)))
 
-    qp = pad(q, sq_pad).reshape(b * h, sq_pad, d_pad)
-    kp = pad(k, skv_pad).reshape(b * h, skv_pad, d_pad)
-    vp = pad(v, skv_pad).reshape(b * h, skv_pad, d_pad)
+def _pad_to(x, s_pad, d_pad):
+    d = x.shape[3]
+    return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - x.shape[2]),
+                       (0, d_pad - d)))
+
+
+def _flash_forward(q, k, v, causal, block_q, block_kv, interpret):
+    """Returns (out (B,H,Sq,D), lse (BH, sq_pad, 128) f32 broadcast)."""
+    b, h, s_q, s_kv, d, d_pad, bq, bkv, sq_pad, skv_pad = _plan(
+        q, k, block_q, block_kv)
+    scale = 1.0 / math.sqrt(d)
+    qp = _pad_to(q, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
+    kp = _pad_to(k, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
+    vp = _pad_to(v, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
 
     grid = (b * h, sq_pad // bq, skv_pad // bkv)
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_len=s_kv, block_kv=bkv,
         causal=causal, block_q=bq)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -136,9 +133,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             pl.BlockSpec((1, bkv, d_pad), lambda bh, iq, ik: (bh, ik, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda bh, iq, ik: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda bh, iq, ik: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, 128), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, d_pad), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -154,8 +158,208 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         interpret=interpret,
     )(qp, kp, vp)
-    out = out.reshape(b, h, sq_pad, d_pad)
-    return out[:, :, :s_q, :d]
+    out = out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+    return out, lse
+
+
+def _bwd_common(q, k, lse, mask, scale):
+    """Recompute softmax probs for one (q block, kv block) pair in f32."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask, s, NEG_INF)
+    p = jnp.exp(s - lse[:, :1])
+    return jnp.where(mask, p, 0.0)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, dq_acc,
+                         *, scale, kv_len, block_kv, causal, block_q):
+    ik = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    kv_pos = jax.lax.broadcasted_iota(
+        jnp.int32, (q.shape[0], k.shape[0]), 1) + ik * block_kv
+    mask = kv_pos < kv_len
+    if causal:
+        iq = pl.program_id(1)
+        q_pos = jax.lax.broadcasted_iota(
+            jnp.int32, mask.shape, 0) + iq * block_q
+        mask = mask & (kv_pos <= q_pos)
+
+    p = _bwd_common(q, k, lse, mask, scale)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, :1])
+    dq_acc[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, scale, kv_len, block_kv, causal, block_q):
+    iq = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    ikv = pl.program_id(1)
+    kv_pos = jax.lax.broadcasted_iota(
+        jnp.int32, (q.shape[0], k.shape[0]), 1) + ikv * block_kv
+    mask = kv_pos < kv_len
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(
+            jnp.int32, mask.shape, 0) + iq * block_q
+        mask = mask & (kv_pos <= q_pos)
+
+    p = _bwd_common(q, k, lse, mask, scale)
+    # dv += p^T @ do
+    dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, :1])
+    # dk += ds^T @ q * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(res, g, causal, block_q, block_kv, interpret):
+    q, k, v, out, lse = res
+    b, h, s_q, s_kv, d, d_pad, bq, bkv, sq_pad, skv_pad = _plan(
+        q, k, block_q, block_kv)
+    scale = 1.0 / math.sqrt(d)
+    qp = _pad_to(q, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
+    kp = _pad_to(k, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
+    vp = _pad_to(v, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
+    dop = _pad_to(g, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
+
+    # delta = rowsum(dO * O), broadcast over 128 lanes (plain XLA: cheap)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - s_q)))
+    delta = jnp.broadcast_to(delta.reshape(b * h, sq_pad, 1),
+                             (b * h, sq_pad, 128))
+
+    common = dict(scale=scale, kv_len=s_kv, block_kv=bkv, causal=causal,
+                  block_q=bq)
+    q_spec = pl.BlockSpec((1, bq, d_pad), lambda bh, iq, ik: (bh, iq, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bkv, d_pad), lambda bh, iq, ik: (bh, ik, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, bq, 128), lambda bh, iq, ik: (bh, iq, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(b * h, sq_pad // bq, skv_pad // bkv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    # dk/dv: kv blocks outer, q blocks inner
+    q_spec2 = pl.BlockSpec((1, bq, d_pad), lambda bh, ik, iq: (bh, iq, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, bkv, d_pad), lambda bh, ik, iq: (bh, ik, 0),
+                            memory_space=pltpu.VMEM)
+    lse_spec2 = pl.BlockSpec((1, bq, 128), lambda bh, ik, iq: (bh, iq, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(b * h, skv_pad // bkv, sq_pad // bq),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, lse_spec2,
+                  lse_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[jax.ShapeDtypeStruct((b * h, skv_pad, d_pad), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, skv_pad, d_pad), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((bkv, d_pad), jnp.float32),
+                        pltpu.VMEM((bkv, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lse, delta)
+
+    def unpad_q(x):
+        return x.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+
+    def unpad_kv(x):
+        return x.reshape(b, h, skv_pad, d_pad)[:, :, :s_kv, :d]
+
+    return unpad_q(dq), unpad_kv(dk), unpad_kv(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_diff(q, k, v, causal, block_q, block_kv, interpret):
+    out, _ = _flash_forward(q, k, v, causal, block_q, block_kv, interpret)
+    return out
+
+
+def _flash_fwd_rule(q, k, v, causal, block_q, block_kv, interpret):
+    out, lse = _flash_forward(q, k, v, causal, block_q, block_kv, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(causal, block_q, block_kv, interpret, res, g):
+    return _flash_backward(res, g, causal, block_q, block_kv, interpret)
+
+
+_flash_attention_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_kv",
+                                             "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    causal: bool = False,
+                    block_q: int = 256, block_kv: int = 512,
+                    interpret: bool = False) -> jax.Array:
+    """(B, H, Sq, D) x (B, H, Skv, D) -> (B, H, Sq, D).
+
+    D is padded to a multiple of 128 lanes; seq dims padded to the block
+    sizes with masking, so arbitrary (even prime) lengths are exact.
+    Differentiable: a custom VJP runs the flash backward (dq and dk/dv
+    kernels with the stored logsumexp), so training uses the same
+    O(seq)-memory path as inference.
+    """
+    return _flash_attention_diff(q, k, v, causal, block_q, block_kv,
+                                 interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -177,9 +381,9 @@ _FORCE_REFERENCE = _threading.local()
 
 @_contextlib.contextmanager
 def dense_attention():
-    """Force the differentiable dense path inside this context. The Pallas
-    flash kernel has no VJP yet (roadmap), so TRAINING must run dense
-    attention — flow_match wraps its loss with this."""
+    """Force the dense XLA path inside this context (debug/fallback; the
+    flash kernel is differentiable via its custom VJP, so training does
+    NOT need this)."""
     prev = getattr(_FORCE_REFERENCE, "value", False)
     _FORCE_REFERENCE.value = True
     try:

@@ -65,13 +65,11 @@ def flow_match_loss(params, batch, key, flux_cfg: flux_mod.FluxConfig,
     target = eps - x0
     guidance = jnp.full((b,), train_cfg.guidance_value, jnp.float32) \
         if flux_cfg.guidance_embed else None
-    # the Pallas flash kernel has no VJP yet; training runs the
-    # differentiable dense attention (rematerialized)
-    from ..ops.attention import dense_attention
-    with dense_attention():
-        v = flux_mod.apply(params, x_t, batch["txt"], batch["pooled"], t,
-                           batch["img_ids"], batch["txt_ids"], flux_cfg,
-                           guidance=guidance, remat=train_cfg.remat)
+    # flash attention has a custom VJP (ops.attention), so training uses
+    # the same O(seq)-memory kernel as inference on TPU
+    v = flux_mod.apply(params, x_t, batch["txt"], batch["pooled"], t,
+                       batch["img_ids"], batch["txt_ids"], flux_cfg,
+                       guidance=guidance, remat=train_cfg.remat)
     return jnp.mean(jnp.square(v.astype(jnp.float32)
                                - target.astype(jnp.float32)))
 

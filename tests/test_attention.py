@@ -64,3 +64,32 @@ def test_masked_dispatch(rng):
     ref = attn.attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def flash_i(q, k, v, **kw):
+    return attn.flash_attention(q, k, v, interpret=True, **kw)
+
+
+@pytest.mark.parametrize("sq,skv,d,bq,bkv,causal", [
+    (64, 64, 32, 64, 64, False),       # single block
+    (96, 160, 64, 32, 128, False),     # multi-block, ragged
+    (64, 64, 32, 32, 64, True),        # causal
+])
+def test_flash_backward_matches_dense(rng, sq, skv, d, bq, bkv, causal):
+    q, k, v = make_qkv(rng, 1, 2, sq, skv, d)
+
+    def loss_flash(q, k, v):
+        out = attn.flash_attention(q, k, v, causal=causal, block_q=bq,
+                                   block_kv=bkv, interpret=True)
+        return jnp.sum(out * jnp.cos(out))   # nontrivial downstream grad
+
+    def loss_dense(q, k, v):
+        out = attn.attention_reference(q, k, v, causal=causal)
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"d{name} mismatch")
