@@ -310,19 +310,82 @@ def build_runner_from_checkpoints(checkpoints_dir: str, cfg,
     )
 
 
-def convert_lama(sd: Dict[str, np.ndarray], cfg) -> Params:
-    """big-lama generator state dict (saic-mdal layout ``model.N...``,
-    exported from the TorchScript checkpoint) -> param tree.
+def lama_leaf_order(params) -> list:
+    """Deterministic topological walk of a LaMa param tree: (path, leaf)
+    pairs in module order (the order a torch Sequential export emits)."""
+    out = []
 
-    The big-lama checkpoint ships as TorchScript whose parameter naming
-    varies by export; conversion therefore walks ``named_parameters()`` in
-    topological order and maps onto our init tree with explicit shape
-    checks. Not implemented in this environment (no checkpoint to validate
-    against — zero egress); the mapping notes live here for when one is
-    present: stem FFC -> ``stem``, three stride-2 FFCs -> ``down``,
-    n_blocks x (conv1, conv2) FFCs -> ``blocks``, three ConvTranspose+BN ->
-    ``up``, final 7x7 conv -> ``head``; conv weights transpose
-    (O,I,kh,kw) -> (kh,kw,I,O)."""
-    raise NotImplementedError(
-        "requires a big-lama checkpoint to validate the ordered mapping; "
-        "see docstring for the layout notes")
+    def walk(node, path):
+        if isinstance(node, dict):
+            # fixed intra-module order mirroring torch module ordering
+            order = ["w", "b", "scale", "bias", "mean", "var",
+                     "l2l", "l2g", "g2l", "g2g", "bn_l", "bn_g",
+                     "conv1", "bn1", "fu", "conv2", "conv", "bn",
+                     "stem", "down", "blocks", "up", "head"]
+            keys = sorted(node.keys(),
+                          key=lambda k: (order.index(k)
+                                         if k in order else len(order), k))
+            for k in keys:
+                walk(node[k], path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+        else:
+            out.append((path, node))
+
+    walk(params, ())
+    return out
+
+
+def convert_lama(sd: Dict[str, np.ndarray], cfg) -> Params:
+    """big-lama generator state dict -> param tree, by ORDERED shape
+    matching (the TorchScript export's parameter names vary by export, but
+    ``state_dict()`` iteration follows module order, which matches our
+    topological walk).
+
+    Every source tensor must match the next expected leaf's torch-layout
+    shape (convs transpose (O, I, kh, kw) <-> HWIO, linear-like 1x1s
+    included; 0-d entries like num_batches_tracked are skipped), otherwise
+    conversion aborts with the offending key — no silent misassignment.
+    Validated by round-trip in tests/test_convert.py."""
+    import jax
+
+    from . import lama as lama_mod
+
+    template = jax.eval_shape(
+        lambda k: lama_mod.init(k, cfg), jax.random.PRNGKey(0))
+    expected = lama_leaf_order(template)
+
+    tensors = [(k, np.asarray(v, np.float32)) for k, v in sd.items()
+               if getattr(v, "ndim", np.asarray(v).ndim) > 0]
+    if len(tensors) != len(expected):
+        raise ValueError(
+            f"source has {len(tensors)} tensors, template expects "
+            f"{len(expected)}")
+
+    leaves = {}
+    for (path, spec), (key, tensor) in zip(expected, tensors):
+        if len(spec.shape) == 4:  # conv HWIO expected; torch is (O,I,kh,kw)
+            torch_shape = (spec.shape[3], spec.shape[2], spec.shape[0],
+                           spec.shape[1])
+            if tensor.shape != torch_shape:
+                raise ValueError(
+                    f"{key}: shape {tensor.shape} does not match expected "
+                    f"conv {torch_shape} for {path}")
+            value = tensor.transpose(2, 3, 1, 0)
+        else:
+            if tensor.shape != spec.shape:
+                raise ValueError(
+                    f"{key}: shape {tensor.shape} != expected "
+                    f"{spec.shape} for {path}")
+            value = tensor
+        leaves[path] = jnp.asarray(value)
+
+    def rebuild(node, path):
+        if isinstance(node, dict):
+            return {k: rebuild(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v, path + (i,)) for i, v in enumerate(node)]
+        return leaves[path]
+
+    return rebuild(template, ())

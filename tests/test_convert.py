@@ -195,3 +195,43 @@ def test_flux_vae_roundtrip(rng):
         np.asarray(vae_mod.encode(back, imgs, cfg)),
         np.asarray(vae_mod.encode(params, imgs, cfg)), rtol=1e-5,
         atol=1e-6)
+
+
+def test_lama_ordered_roundtrip(rng):
+    """Export our tiny LaMa tree in torch module order + layout, convert
+    back, require exact equality and a matching forward."""
+    from domainrag_tpu.models import lama as lama_mod
+
+    cfg = lama_mod.TINY_LAMA
+    params = lama_mod.init(jax.random.PRNGKey(2), cfg)
+    order = convert.lama_leaf_order(params)
+    sd = {}
+    for i, (path, leaf) in enumerate(order):
+        arr = np.asarray(leaf)
+        if arr.ndim == 4:  # HWIO -> torch (O, I, kh, kw)
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[f"model.{i}.param"] = arr
+    sd["model.bn.num_batches_tracked"] = np.asarray(3)  # 0-d skipped
+
+    back = convert.convert_lama(sd, cfg)
+    flat_a, tree_a = jax.tree_util.tree_flatten(params)
+    flat_b, tree_b = jax.tree_util.tree_flatten(back)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    img = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    mask = jnp.zeros((1, 16, 16, 1)).at[:, 4:8, 4:8].set(1.0)
+    np.testing.assert_array_equal(
+        np.asarray(lama_mod.apply(back, img, mask, cfg)),
+        np.asarray(lama_mod.apply(params, img, mask, cfg)))
+
+
+def test_lama_ordered_rejects_mismatch():
+    from domainrag_tpu.models import lama as lama_mod
+    cfg = lama_mod.TINY_LAMA
+    params = lama_mod.init(jax.random.PRNGKey(2), cfg)
+    order = convert.lama_leaf_order(params)
+    sd = {f"p{i}": np.zeros((1, 2, 3)) for i in range(len(order))}
+    with pytest.raises(ValueError):
+        convert.convert_lama(sd, cfg)
