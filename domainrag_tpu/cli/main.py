@@ -131,6 +131,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="directory with converted checkpoints")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--failed_only", action="store_true")
+    p.add_argument("--collect_only", action="store_true",
+                   help="only gather final results, no compute "
+                        "(reference --collect_only)")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--seed", type=int, default=0)
@@ -185,6 +188,15 @@ def main(argv=None) -> int:
                 out[f"{dataset}/{shot}"] = {
                     "images": len(r["images"]),
                     "annotations": len(r["annotations"])}
+        print(json.dumps(out, indent=2))
+        return 0
+
+    if args.command == "compose" and args.collect_only:
+        from ..stages.compose import collect_final_results
+        out = {}
+        for shot in args.shots:
+            out[f"{shot}_shot"] = collect_final_results(
+                args.output_dir, str(args.process_id), shot)
         print(json.dumps(out, indent=2))
         return 0
 
