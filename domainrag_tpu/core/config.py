@@ -190,6 +190,10 @@ class ComposeConfig:
     # keep-masked) and crops the output, trading a sliver of border
     # context for bounded compile count.
     resolution_bucket: int = 0
+    # >= this many pixels: tiled VAE + (multi-device) ring attention — the
+    # reference's 2048-px upscale / 2800-px cap regime
+    # (outpainting_updown_sampling_redux.py:72-82,104-108). 0 disables.
+    hires_threshold_px: int = 2048 * 2048
 
 
 @dataclass(frozen=True)

@@ -55,9 +55,13 @@ def topk_ip_numpy(queries: np.ndarray, bank: np.ndarray, k: int
 def topk_ip(queries: jax.Array, bank: jax.Array, k: int
             ) -> Tuple[jax.Array, jax.Array]:
     """Dense GEMM + ``lax.top_k`` (stable: ties -> lower index first)."""
+    # precision="highest": on TPU the default f32 matmul truncates operands
+    # to bf16 passes, which perturbs near-tie scores and breaks the
+    # identical-top-100-vs-FAISS gate (ref retrieval/...py:425-434).
     scores = jnp.dot(queries.astype(jnp.float32),
                      bank.astype(jnp.float32).T,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     k = min(k, bank.shape[0])
     vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
@@ -190,10 +194,13 @@ def _topk_kernel(q_ref, bank_ref, out_s_ref, out_i_ref,
         acc_i[:] = jnp.full_like(acc_i, jnp.int32(2**31 - 1))
 
     # MXU: (TQ, d) x (d, TN) -> f32 scores
+    # HIGHEST precision for the same reason as topk_ip: default f32 MXU
+    # matmul is bf16x3-ish and perturbs near-tie scores vs FAISS f32.
     scores = jax.lax.dot_general(
         q_ref[:], bank_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     base = j * block_n
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)

@@ -71,7 +71,15 @@ class PipelineRunner:
                 worker_id=self.cfg.worker_id,
                 num_workers=self.cfg.num_workers)
 
-    def _build_bank(self) -> retrieve_stage.EmbeddingBank:
+    def _data_mesh(self):
+        """Data mesh when >1 device is visible (sharded retrieval + DP
+        generation), else None."""
+        if len(jax.devices()) > 1:
+            return create_mesh(
+                model_parallel=self.cfg.mesh.model_parallel_size)
+        return None
+
+    def _build_bank(self, mesh=None) -> retrieve_stage.EmbeddingBank:
         feats, paths = {}, {}
         for source, spec in self.pretrained_features.items():
             f, kept = retrieve_stage.load_pretrained_features(*spec)
@@ -83,11 +91,12 @@ class PipelineRunner:
                 self.retrieval_dir, source, image_paths, self.clip_encoder,
                 force_recompute=self.force_recompute)
             feats[source], paths[source] = f, kept
-        return retrieve_stage.EmbeddingBank.from_sources(feats, paths)
+        return retrieve_stage.EmbeddingBank.from_sources(feats, paths,
+                                                         mesh=mesh)
 
     def run_retrieve(self):
         with self.timer.span("stage/retrieve"):
-            bank = self._build_bank()
+            bank = self._build_bank(mesh=self._data_mesh())
             return retrieve_stage.run_retrieval(
                 self.cfg.datasets, self.cfg.shots, bank, self.clip_encoder,
                 self.style_encoder, self.lamainpaint_dir,
@@ -105,10 +114,7 @@ class PipelineRunner:
         corpus_paths = [p for paths in self.corpus_sources.values()
                         for p in paths]
         # data-parallel sample batching when several devices are visible
-        mesh = None
-        if len(jax.devices()) > 1:
-            mesh = create_mesh(
-                model_parallel=self.cfg.mesh.model_parallel_size)
+        mesh = self._data_mesh()
         out = {}
         with self.timer.span("stage/generate"):
             for dataset in self.cfg.datasets:
@@ -125,7 +131,8 @@ class PipelineRunner:
     def run_compose(self, resume: bool = False, failed_only: bool = False):
         stage = compose_stage.ComposeStage(
             self.fill_bundle, self.cfg.compose,
-            process_id=self.cfg.process_id)
+            process_id=self.cfg.process_id,
+            mesh=self._data_mesh())
         out = {}
         with self.timer.span("stage/compose"):
             for dataset in self.cfg.datasets:
@@ -138,17 +145,26 @@ class PipelineRunner:
                         num_workers=self.cfg.num_workers)
         return out
 
-    def run(self, stages: Sequence[str] = STAGES, resume: bool = False):
+    def run(self, stages: Sequence[str] = STAGES, resume: bool = False,
+            failed_only: bool = False):
         """Run the DAG (or a contiguous subset — artifacts on disk carry
-        state between invocations, exactly like the reference's phases)."""
+        state between invocations, exactly like the reference's phases).
+
+        ``failed_only`` forwards to compose's failed-only re-run
+        (ref outpainting_updown_sampling_redux.py:2064-2079)."""
         results = {}
         for stage in stages:
             if stage not in STAGES:
                 raise ValueError(f"unknown stage {stage!r}; "
                                  f"choose from {STAGES}")
             logger.info("=== stage: %s ===", stage)
-            results[stage] = getattr(self, f"run_{stage}")(resume=resume) \
-                if stage != "retrieve" else self.run_retrieve()
+            if stage == "retrieve":
+                results[stage] = self.run_retrieve()
+            elif stage == "compose":
+                results[stage] = self.run_compose(resume=resume,
+                                                  failed_only=failed_only)
+            else:
+                results[stage] = getattr(self, f"run_{stage}")(resume=resume)
         results["timings"] = self.timer.summary()
         return results
 

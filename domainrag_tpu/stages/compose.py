@@ -115,21 +115,13 @@ class ComposeStage:
     cfg: ComposeConfig
     process_id: str = "0"
     seed: Optional[int] = None   # None -> random per image (ref :1230)
+    mesh: Optional[object] = None  # hires: ring attention over its data axis
 
     def dataset_params(self, dataset: str) -> DatasetParams:
         for key, value in self.cfg.dataset_params.items():
             if key.lower() == dataset.lower():
                 return value
         return DatasetParams()
-
-    def _prior_for_bg(self, bg_image: Image.Image, dataset: str):
-        params = self.dataset_params(dataset)
-        size = self.bundle.siglip_cfg.image_size
-        px = imaging.siglip_preprocess(bg_image, size)
-        return flux_pipeline.redux_prior(
-            self.bundle, px[None], [params.redux_prompt],
-            prompt_embeds_scale=[params.image_prompt_scale],
-            pooled_prompt_embeds_scale=[1.0])
 
     def process_sample(self, dataset: str, shot: int, sample_id: str,
                        original_image: Image.Image,
@@ -196,26 +188,20 @@ class ComposeStage:
         }
 
         # all <=5 backgrounds of the sample denoise as ONE batch (the
-        # reference ran 5 sequential 50-step fills per sample)
-        import jax.numpy as jnp
+        # reference ran 5 sequential 50-step fills per sample). Each bg is
+        # a K=1 conditioning group through the SAME model API the generate
+        # stage uses (single-image Redux prior, ref :1237-1243) — one
+        # implementation of the prior, not two.
         size = self.bundle.siglip_cfg.image_size
+        n_bg = len(bg_paths)
         with timer.span("prior"):
             bg_images = [imaging.load_rgb(p) for p in bg_paths]
             pxs = np.stack([imaging.siglip_preprocess(b, size)
                             for b in bg_images])
-            txt1, pooled1 = flux_pipeline.encode_prompt(
-                self.bundle, [params.redux_prompt])
-            import domainrag_tpu.models.siglip as siglip_mod
-            import domainrag_tpu.models.redux as redux_mod
-            sig = siglip_mod.apply(self.bundle.siglip_params,
-                                   jnp.asarray(pxs), self.bundle.siglip_cfg)
-            img_embeds = redux_mod.apply(self.bundle.redux_params, sig)
-            n_bg = len(bg_paths)
-            txt = jnp.broadcast_to(txt1, (n_bg,) + txt1.shape[1:])
-            pooled_b = jnp.broadcast_to(pooled1, (n_bg,) + pooled1.shape[1:])
-            embeds_all = jnp.concatenate([txt, img_embeds], axis=1) \
-                * params.image_prompt_scale
-            pooled_all = pooled_b * 1.0
+            embeds_all, pooled_all = flux_pipeline.redux_prior_pairs(
+                self.bundle, pxs[:, None], params.redux_prompt,
+                prompt_embeds_scale=[params.image_prompt_scale],
+                pooled_prompt_embeds_scale=[1.0])
 
         seeds = [self.seed if self.seed is not None
                  else random.randint(0, 2**32 - 1) for _ in bg_paths]
@@ -227,7 +213,9 @@ class ComposeStage:
                 embeds_all, pooled_all,
                 num_steps=self.cfg.num_steps,
                 guidance=params.guidance_scale,
-                strength=params.strength, seeds=seeds)
+                strength=params.strength, seeds=seeds,
+                mesh=self.mesh,
+                hires_threshold_px=self.cfg.hires_threshold_px)
             if pad_h or pad_w:
                 results = results[:, :aligned_h, :aligned_w]
 

@@ -27,6 +27,7 @@ import os
 import random
 import shutil
 import time
+import zlib
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -64,9 +65,18 @@ def top_ranked_refs(retrieval_results: dict, dataset: str, shot: int,
     return None
 
 
+def fallback_seed(dataset: str, shot: int, sample_id: str) -> int:
+    """Process-stable seed for the random-corpus fallback. Python's str
+    ``hash`` is salted per interpreter, so it would pick different refs
+    every run; CRC32 of the canonical key is reproducible everywhere."""
+    return zlib.crc32(f"{dataset}/{shot}_shot/{sample_id}".encode("utf-8"))
+
+
 def random_fallback_refs(corpus_paths: Sequence[str], top_ranks: int,
                          seed: int) -> List[dict]:
-    """ref :1213-1228: random corpus refs with similarities 1.0 - 0.1*i."""
+    """ref :1213-1228: random corpus refs with similarities 1.0 - 0.1*i.
+    (The reference's fallback was unseeded; ours is deterministic via
+    :func:`fallback_seed`.)"""
     rng = random.Random(seed)
     picks = rng.sample(list(corpus_paths), min(top_ranks, len(corpus_paths)))
     return [{"rank": i + 1, "similarity": 1.0 - 0.1 * i, "image_path": p,
@@ -296,8 +306,11 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                 continue
             refs = random_fallback_refs(
                 corpus_paths, stage.cfg.top_ranks,
-                seed=hash((dataset, shot, sample_id)) & 0x7FFFFFFF)
+                seed=fallback_seed(dataset, shot, sample_id))
             counters["fallback"] += 1
+            logger.warning(
+                "sample %s missing from retrieval JSON — using seeded "
+                "random corpus fallback (ref :1213-1228)", sample_id)
         items.append({"sample_id": sample_id, "target_path": target_path,
                       "refs": refs,
                       "sample_dir": os.path.join(base_dir, sample_id)})

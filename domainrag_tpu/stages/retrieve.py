@@ -45,11 +45,18 @@ logger = get_logger("domainrag_tpu.retrieve")
 @dataclass
 class EmbeddingBank:
     """Multi-source corpus bank. ``features`` is a single f32 device array;
-    ``paths``/``sources`` map row -> image path / source dataset name."""
+    ``paths``/``sources`` map row -> image path / source dataset name.
+
+    With ``mesh`` set the feature rows are sharded over the mesh's data
+    axis (each device holds N/d rows in its HBM — SURVEY.md B1's
+    "HBM-sharded banks") and searches run through
+    :func:`parallel.collectives.sharded_topk`."""
 
     features: jax.Array
     paths: List[str]
     sources: List[str]
+    mesh: Optional[object] = None
+    mesh_axis: str = "data"
 
     @property
     def size(self) -> int:
@@ -57,7 +64,8 @@ class EmbeddingBank:
 
     @classmethod
     def from_sources(cls, features_by_source: Dict[str, np.ndarray],
-                     paths_by_source: Dict[str, List[str]]) -> "EmbeddingBank":
+                     paths_by_source: Dict[str, List[str]],
+                     mesh=None, mesh_axis: str = "data") -> "EmbeddingBank":
         feats, paths, sources = [], [], []
         for name, f in features_by_source.items():
             if f is None or len(f) == 0:
@@ -67,8 +75,15 @@ class EmbeddingBank:
             sources.extend([name] * len(paths_by_source[name]))
         if not feats:
             raise ValueError("no corpus features available")
-        return cls(features=jax.device_put(np.concatenate(feats, axis=0)),
-                   paths=paths, sources=sources)
+        full = np.concatenate(feats, axis=0)
+        if mesh is not None and mesh.shape.get(mesh_axis, 1) > 1:
+            from ..parallel.collectives import pad_bank_for_mesh, shard_bank
+            padded, _ = pad_bank_for_mesh(full, mesh, mesh_axis)
+            return cls(features=shard_bank(padded, mesh, mesh_axis),
+                       paths=paths, sources=sources, mesh=mesh,
+                       mesh_axis=mesh_axis)
+        return cls(features=jax.device_put(full), paths=paths,
+                   sources=sources)
 
 
 def load_pretrained_features(features_path: str, paths_path: str
@@ -195,12 +210,21 @@ def first_stage_topk(query_features: np.ndarray, bank: EmbeddingBank,
     (ref :436-447)."""
     k = min(top_k, bank.size)
     queries = jnp.asarray(np.asarray(query_features, np.float32))
-    # default is the XLA path: measured 3.5x faster than the fused Pallas
-    # kernel at retrieval shapes (the bitonic merge is VPU-bound; see
-    # BENCH_NOTES.md) while returning identical indices
-    fn = topk_ops.topk_ip_pallas if (
-        use_pallas and jax.default_backend() != "cpu") else topk_ops.topk_ip
-    scores, idx = fn(queries, bank.features, k)
+    if bank.mesh is not None:
+        # HBM-sharded bank: per-shard top-k + all-gather merge, ordering
+        # identical to the single-device paths (tested bit-equal)
+        from ..parallel.collectives import sharded_topk
+        scores, idx = sharded_topk(queries, bank.features, k, bank.mesh,
+                                   n_valid=bank.size, axis=bank.mesh_axis,
+                                   use_pallas=use_pallas)
+    else:
+        # default is the XLA path: measured 3.5x faster than the fused
+        # Pallas kernel at retrieval shapes (the bitonic merge is
+        # VPU-bound; see BENCH_NOTES.md) while returning identical indices
+        fn = topk_ops.topk_ip_pallas if (
+            use_pallas and jax.default_backend() != "cpu") \
+            else topk_ops.topk_ip
+        scores, idx = fn(queries, bank.features, k)
     scores, idx = np.asarray(scores), np.asarray(idx)
     results = []
     for qi in range(len(scores)):

@@ -26,6 +26,13 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture
+def mesh8():
+    """8-way data mesh over the virtual CPU devices."""
+    from domainrag_tpu.parallel import mesh as mesh_mod
+    return mesh_mod.create_mesh(model_parallel=1)
+
+
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", (
         "tests must run on the virtual CPU platform, got "

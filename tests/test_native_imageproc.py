@@ -6,11 +6,17 @@ import pytest
 from PIL import Image
 
 from domainrag_tpu.native.build import (FILTER_BICUBIC, FILTER_BILINEAR,
-                                        load_native, resize_batch_native,
-                                        resize_native)
+                                        load_native, native_available,
+                                        resize_batch_native, resize_native)
 
-pytestmark = pytest.mark.skipif(load_native() is None,
-                                reason="no native toolchain")
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no native toolchain and no "
+                                       "prebuilt .so")
+
+
+def test_native_library_loads():
+    """The prebuilt .so is committed; a load failure is a bug, not a skip."""
+    assert load_native() is not None
 
 
 @pytest.mark.parametrize("in_size,out_size", [

@@ -24,3 +24,23 @@ def test_stage_subset_runs_only_requested(tmp_path):
     assert set(out) == {"inpaint", "timings"}
     # missing dataset dirs are skipped, not fatal (reference behavior)
     assert out["inpaint"] == {}
+
+
+def test_run_forwards_failed_only_to_compose(tmp_path):
+    """run() must forward failed_only to compose (VERDICT r1 item 9 — the
+    reference's --failed_only re-run, outpainting...py:2064-2079, has to be
+    reachable from the DAG entry, not only the subcommand)."""
+    cfg = PipelineConfig(datasets=("X",), shots=(1,),
+                         datasets_dir=str(tmp_path),
+                         output_dir=str(tmp_path / "out"))
+    runner = build_tiny_runner(cfg)
+    seen = {}
+
+    def fake_compose(resume=False, failed_only=False):
+        seen.update(resume=resume, failed_only=failed_only)
+        return {"ok": True}
+
+    runner.run_compose = fake_compose
+    out = runner.run(stages=("compose",), resume=True, failed_only=True)
+    assert seen == {"resume": True, "failed_only": True}
+    assert out["compose"] == {"ok": True}

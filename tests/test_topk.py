@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from domainrag_tpu.ops import topk as topk_mod
-from domainrag_tpu.native.build import topk_ip_native, load_native
+from domainrag_tpu.native.build import (topk_ip_native, load_native,
+                                        native_available)
 
 
 def random_case(rng, nq, nb, d, ties=False):
@@ -72,8 +73,13 @@ def test_pallas_matches_oracle(rng, nq, nb, d, k, ties):
     np.testing.assert_allclose(np.asarray(vals), ref_s, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.skipif(load_native() is None, reason="no native toolchain")
+@pytest.mark.skipif(not native_available(),
+                    reason="no native toolchain and no prebuilt .so")
 def test_native_matches_oracle(rng):
+    # fail loudly (not skip) if the expected-loadable library broke:
+    # the prebuilt .so is committed, so a silent load failure is a bug.
+    assert load_native() is not None, \
+        "native library should be loadable (g++ or prebuilt .so present)"
     for ties in (False, True):
         queries, bank = random_case(rng, 5, 1200, 512, ties=ties)
         ref_s, ref_i = topk_mod.topk_ip_numpy(queries, bank, 100)
