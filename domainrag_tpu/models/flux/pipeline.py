@@ -307,19 +307,30 @@ def pack_mask(mask: jax.Array, vae_factor: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
+                     "tiled_vae", "vae_tile", "vae_overlap"))
 def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
                pooled, sigmas, guidance, cfg: flux_mod.FluxConfig,
                vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int,
-               tp_tag: str = "none"):
-    """image (1, H, W, 3) in [-1,1]; mask (1, H, W) float 0/1 (1=repaint)."""
+               tp_tag: str = "none", tiled_vae: bool = False,
+               vae_tile: int = 96, vae_overlap: int = 16):
+    """image (1, H, W, 3) in [-1,1]; mask (1, H, W) float 0/1 (1=repaint).
+
+    ``tiled_vae`` bounds VAE activation memory for the >=2048 px fill
+    configs (the regime the reference capped at 2800 px to dodge CUDA OOM,
+    outpainting_updown_sampling_redux.py:104-108)."""
+    if tiled_vae:
+        def enc(x):
+            return vae_mod.encode_tiled(vae_params, x, vae_cfg,
+                                        tile=vae_tile, overlap=vae_overlap)
+    else:
+        def enc(x):
+            return vae_mod.encode(vae_params, x, vae_cfg)
     masked = image * (1.0 - mask[..., None])
-    masked_latents = vae_mod.encode(vae_params, masked, vae_cfg)
-    masked_tokens = flux_mod.pack_latents(masked_latents)
+    masked_tokens = flux_mod.pack_latents(enc(masked))
     mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
 
-    image_latents = vae_mod.encode(vae_params, image, vae_cfg)
-    image_tokens = flux_mod.pack_latents(image_latents)
+    image_tokens = flux_mod.pack_latents(enc(image))
 
     # strength partial denoise: start from noised image latents at sigma_0
     latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
@@ -344,6 +355,9 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
 
     out = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
     lat = flux_mod.unpack_latents(out.astype(jnp.float32), grid_h, grid_w)
+    if tiled_vae:
+        return vae_mod.decode_tiled(vae_params, lat, vae_cfg,
+                                    tile=vae_tile, overlap=vae_overlap)
     return vae_mod.decode(vae_params, lat, vae_cfg)
 
 
@@ -367,15 +381,26 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
                num_steps: int = 50, guidance: float = 30.0,
                strength: float = 0.75,
                seeds: Sequence[int] = (0,),
-               mesh=None, data_axis: str = "data") -> np.ndarray:
+               mesh=None, data_axis: str = "data",
+               hires_threshold_px: int = 2048 * 2048,
+               vae_tile: int = 96, vae_overlap: int = 16) -> np.ndarray:
     """Batched Fill over same-shape samples: images (B, H, W, 3) uint8,
     masks (B, H, W) uint8, prompt_embeds (B, S, D), pooled (B, P), one
     seed per row. The whole batch denoises in one compiled graph; with
-    ``mesh`` the batch shards over the data axis (padded as needed)."""
+    ``mesh`` the batch shards over the data axis (padded as needed).
+
+    High-res regime (H*W >= ``hires_threshold_px``, i.e. the reference's
+    >=2048 px upscale / <=2800 px cap,
+    outpainting_updown_sampling_redux.py:72-82,104-108): the VAE runs
+    tiled (bounded activation memory) and, when a multi-device ``mesh`` is
+    given, attention rings over the data axis (sequence parallel — the
+    ~31k-token joint sequence shards across chips) instead of sharding the
+    tiny batch."""
     b, h, w = images.shape[:3]
     lf = bundle.latent_factor
     grid_h, grid_w = h // lf, w // lf
     seq = grid_h * grid_w
+    hires = hires_threshold_px > 0 and h * w >= hires_threshold_px
     schedule = sched_mod.make_schedule(num_steps, image_seq_len=seq,
                                        strength=strength)
     img = jnp.asarray(from_uint8(images)).astype(bundle.compute_dtype)
@@ -389,7 +414,14 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
     pooled_c = pooled.astype(bundle.compute_dtype)
 
     n_real = b
-    if mesh is not None:
+    sp_ctx = contextlib.nullcontext()
+    sp_tag = "none"
+    if mesh is not None and hires and mesh.shape.get(data_axis, 1) > 1:
+        # sequence parallel: inputs stay replicated; ring attention
+        # shards the joint sequence over the data axis inside the model
+        sp_ctx = attn_mod.sp_attention(mesh, data_axis)
+        sp_tag = f"sp-{data_axis}:{mesh.shape[data_axis]}"
+    elif mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         d = mesh.shape[data_axis]
         pad = (-n_real) % d
@@ -403,10 +435,12 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
             jax.device_put(x, shard) for x in (img, m, noise, embeds,
                                                pooled_c))
 
-    with _tp_context(bundle):
+    with _tp_context(bundle), sp_ctx:
         out = _fill_core(
             bundle.flux_params, bundle.vae_params, img, m, noise, embeds,
             pooled_c, jnp.asarray(schedule.sigmas), jnp.float32(guidance),
             cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
-            grid_h=grid_h, grid_w=grid_w, tp_tag=_tp_tag(bundle))
+            grid_h=grid_h, grid_w=grid_w,
+            tp_tag=_tp_tag(bundle) + "/" + sp_tag,
+            tiled_vae=hires, vae_tile=vae_tile, vae_overlap=vae_overlap)
     return to_uint8(np.asarray(out, np.float32))[:n_real]

@@ -233,6 +233,45 @@ def decode_tiled(params: Params, latents: jax.Array,
     return out / jnp.maximum(weight, 1e-8)
 
 
+def encode_tiled(params: Params, images: jax.Array,
+                 cfg: VaeConfig = FLUX_VAE,
+                 tile: int = 96, overlap: int = 16,
+                 key: Optional[jax.Array] = None) -> jax.Array:
+    """Encode in overlapping tiles (``tile``/``overlap`` in LATENT units,
+    matching :func:`decode_tiled`), blending the normalized latents — the
+    encode-side memory bound for the >=2048 px fill inputs (same tradeoff
+    as diffusers' tiled VAE: seam regions see a truncated receptive
+    field)."""
+    b, h, w, _ = images.shape
+    f = cfg.spatial_factor
+    lh, lw = h // f, w // f
+    if lh <= tile and lw <= tile:
+        return encode(params, images, cfg, key=key)
+    stride = tile - overlap
+    out = None
+    weight = None
+    ys = list(range(0, max(lh - overlap, 1), stride))
+    xs = list(range(0, max(lw - overlap, 1), stride))
+    for y in ys:
+        for x in xs:
+            y1, x1 = min(y + tile, lh), min(x + tile, lw)
+            y0, x0 = max(y1 - tile, 0), max(x1 - tile, 0)
+            patch = encode(params,
+                           images[:, y0 * f:y1 * f, x0 * f:x1 * f], cfg,
+                           key=key)
+            ph, pw = patch.shape[1], patch.shape[2]
+            wy = _blend_profile(ph, (y0 > 0) * overlap, (y1 < lh) * overlap)
+            wx = _blend_profile(pw, (x0 > 0) * overlap, (x1 < lw) * overlap)
+            wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
+            if out is None:
+                out = jnp.zeros((b, lh, lw, cfg.latent_channels),
+                                patch.dtype)
+                weight = jnp.zeros((1, lh, lw, 1), jnp.float32)
+            out = out.at[:, y0:y1, x0:x1].add(patch * wmap)
+            weight = weight.at[:, y0:y1, x0:x1].add(wmap)
+    return out / jnp.maximum(weight, 1e-8)
+
+
 def _blend_profile(n: int, ramp_lo: int, ramp_hi: int) -> jax.Array:
     w = jnp.ones((n,), jnp.float32)
     if ramp_lo > 0:

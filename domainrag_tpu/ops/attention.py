@@ -38,8 +38,9 @@ def attention_reference(q, k, v, causal: bool = False):
                       preferred_element_type=q.dtype, precision="highest")
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_buf, l_buf,
-                  *, scale: float, kv_len: int, block_kv: int,
+def _flash_kernel(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc, m_buf, l_buf,
+                  *, scale: float, block_kv: int,
                   causal: bool, block_q: int):
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -57,9 +58,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_buf, l_buf,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    # mask kv padding (and causal structure if requested)
+    # mask kv padding (and causal structure if requested); the validity
+    # boundary is a runtime scalar so ring attention can fold blocks whose
+    # valid length depends on the (traced) ring step
     kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_kv
-    mask = kv_pos < kv_len
+    mask = kv_pos < kv_valid_ref[0]
     if causal:
         iq = pl.program_id(1)
         q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
@@ -109,23 +112,31 @@ def _pad_to(x, s_pad, d_pad):
                        (0, d_pad - d)))
 
 
-def _flash_forward(q, k, v, causal, block_q, block_kv, interpret):
-    """Returns (out (B,H,Sq,D), lse (BH, sq_pad, 128) f32 broadcast)."""
+def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
+                   kv_valid=None):
+    """Returns (out (B,H,Sq,D), lse (BH, sq_pad, 128) f32 broadcast).
+
+    ``kv_valid``: optional runtime int32 scalar — kv positions >= it are
+    masked (defaults to the static kv length)."""
     b, h, s_q, s_kv, d, d_pad, bq, bkv, sq_pad, skv_pad = _plan(
         q, k, block_q, block_kv)
     scale = 1.0 / math.sqrt(d)
     qp = _pad_to(q, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
     kp = _pad_to(k, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
     vp = _pad_to(v, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
+    if kv_valid is None:
+        kv_valid = s_kv
+    kv_valid_arr = jnp.full((1,), kv_valid, jnp.int32)
 
     grid = (b * h, sq_pad // bq, skv_pad // bkv)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=s_kv, block_kv=bkv,
+        _flash_kernel, scale=scale, block_kv=bkv,
         causal=causal, block_q=bq)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d_pad), lambda bh, iq, ik: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bkv, d_pad), lambda bh, iq, ik: (bh, ik, 0),
@@ -157,8 +168,21 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret):
             transcendentals=b * h * sq_pad * skv_pad,
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(kv_valid_arr, qp, kp, vp)
     out = out.reshape(b, h, sq_pad, d_pad)[:, :, :s_q, :d]
+    return out, lse
+
+
+def flash_attention_lse(q, k, v, kv_valid=None,
+                        block_q: int = 256, block_kv: int = 512,
+                        interpret: bool = False):
+    """Flash forward returning (out (B,H,Sq,D), lse (B,H,Sq,1) f32) — the
+    partial-softmax form ring attention merges across sequence shards.
+    Not differentiable (serving path)."""
+    b, h, s_q, _ = q.shape
+    out, lse = _flash_forward(q, k, v, False, block_q, block_kv, interpret,
+                              kv_valid=kv_valid)
+    lse = lse.reshape(b, h, -1, 128)[:, :, :s_q, :1]
     return out, lse
 
 
@@ -403,6 +427,41 @@ def tp_attention(mesh, axis: str = "model"):
         _TP_CONTEXT.value = prev
 
 
+_SP_CONTEXT = _threading.local()
+
+
+@_contextlib.contextmanager
+def sp_attention(mesh, axis: str = "data"):
+    """Within this context, attention() runs sequence-sharded over ``axis``
+    via ring attention (ops.ring_attention) — the >=2048 px fill regime
+    (~31k joint tokens at the 2800 px cap,
+    outpainting_updown_sampling_redux.py:104-108). Composes with
+    :func:`tp_attention`: heads shard over the TP axis of the same mesh,
+    sequence blocks ring over the SP axis."""
+    prev = getattr(_SP_CONTEXT, "value", None)
+    _SP_CONTEXT.value = (mesh, axis)
+    try:
+        yield
+    finally:
+        _SP_CONTEXT.value = prev
+
+
+def _sp_sharded(q, k, v, causal: bool):
+    if causal:
+        return None  # ring fold here is non-causal (MMDiT is bidirectional)
+    mesh, axis = _SP_CONTEXT.value
+    if mesh.shape[axis] <= 1:
+        return None
+    head_axis = None
+    tp = getattr(_TP_CONTEXT, "value", None)
+    if tp is not None and tp[0] is mesh and tp[1] != axis \
+            and mesh.shape[tp[1]] > 1 and q.shape[1] % mesh.shape[tp[1]] == 0:
+        head_axis = tp[1]
+    from .ring_attention import ring_attention_padded
+    return ring_attention_padded(q, k, v, mesh, axis=axis,
+                                 head_axis=head_axis)
+
+
 def _tp_sharded(q, k, v, causal: bool):
     from jax.sharding import PartitionSpec as P
     mesh, axis = _TP_CONTEXT.value
@@ -430,6 +489,10 @@ def attention(q, k, v, causal: bool = False, mask=None,
     :func:`tp_attention` context. ``mask`` forces the reference path."""
     force_reference = force_reference or getattr(_FORCE_REFERENCE, "value",
                                                  False)
+    if mask is None and getattr(_SP_CONTEXT, "value", None) is not None:
+        out = _sp_sharded(q, k, v, causal)
+        if out is not None:
+            return out
     if mask is None and getattr(_TP_CONTEXT, "value", None) is not None:
         out = _tp_sharded(q, k, v, causal)
         if out is not None:

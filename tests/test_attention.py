@@ -93,3 +93,23 @@ def test_flash_backward_matches_dense(rng, sq, skv, d, bq, bkv, causal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=f"d{name} mismatch")
+
+
+def test_flash_lse_kv_valid(rng):
+    """flash_attention_lse with a runtime kv_valid boundary == dense
+    attention over the valid prefix (the ring-attention fold primitive)."""
+    import jax.numpy as jnp
+    q = jnp.asarray(rng.standard_normal((2, 3, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 3, 24, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 3, 24, 8)), jnp.float32)
+    import numpy as np
+    from domainrag_tpu.ops import attention as attn
+    for valid in (24, 13, 1):
+        out, lse = attn.flash_attention_lse(
+            q, k, v, kv_valid=jnp.int32(valid), block_q=8, block_kv=8,
+            interpret=True)
+        ref = attn.attention_reference(q, k[:, :, :valid], v[:, :, :valid])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # lse sanity: finite over valid prefix
+        assert np.isfinite(np.asarray(lse)).all()

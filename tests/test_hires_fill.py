@@ -1,0 +1,136 @@
+"""High-res fill regime (VERDICT r1 item 1): tiled VAE + ring attention
+wired into the actual fill path, proven equal to the unsharded reference
+path on the 8-device mesh.
+
+The reference's >=2048 px upscale (UODD) / <=2800 px cap
+(outpainting_updown_sampling_redux.py:72-82,104-108) maps here to
+``fill_batch(hires_threshold_px=...)``: tiled VAE encode/decode bounds HBM
+and the joint sequence rings over the mesh's data axis.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from domainrag_tpu.models.flux import pipeline as flux_pipeline
+from domainrag_tpu.models.flux import vae as vae_mod
+from domainrag_tpu.ops import attention as attn_mod
+from domainrag_tpu.ops.ring_attention import ring_attention_padded
+
+
+@pytest.fixture(scope="module")
+def fill_bundle():
+    return flux_pipeline.tiny_bundle(jax.random.PRNGKey(7), fill=True)
+
+
+def _fill_inputs(bundle, h, w, n_bg=2, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.integers(0, 255, (n_bg, h, w, 3), dtype=np.uint8)
+    masks = np.full((n_bg, h, w), 255, np.uint8)
+    masks[:, h // 4:h // 2, w // 4:w // 2] = 0  # keep region
+    embeds, pooled = flux_pipeline.redux_prior_pairs(
+        bundle,
+        rng.standard_normal(
+            (n_bg, 1, bundle.siglip_cfg.image_size,
+             bundle.siglip_cfg.image_size, 3)).astype(np.float32),
+        "bg", prompt_embeds_scale=[1.0], pooled_prompt_embeds_scale=[1.0])
+    return images, masks, embeds, pooled
+
+
+def test_ring_fill_matches_unsharded(fill_bundle, mesh8):
+    """Sequence-parallel fill over the 8-device mesh == single-device fill.
+
+    VAE tile larger than the latent grid -> tiling is the exact identity
+    path; the only delta is ring vs dense attention, which must agree."""
+    h = w = 32  # tiny stand-in for the 2048 px regime (latent factor 4)
+    images, masks, embeds, pooled = _fill_inputs(fill_bundle, h, w)
+    kw = dict(num_steps=2, guidance=30.0, strength=0.6, seeds=[0, 1],
+              vae_tile=4096, vae_overlap=16)
+    ref = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                   pooled, hires_threshold_px=0, **kw)
+    hires = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                     pooled, mesh=mesh8,
+                                     hires_threshold_px=1, **kw)
+    assert hires.shape == ref.shape
+    # uint8 outputs: ring online-softmax reassociates the reduction, so
+    # allow 1 quantization step of drift
+    assert np.max(np.abs(hires.astype(int) - ref.astype(int))) <= 1
+
+
+def test_full_hires_path_runs_tiled(fill_bundle, mesh8):
+    """Tiled VAE + ring attention together (tile smaller than the latent
+    grid so tiling actually splits) — the real >=2048 px configuration,
+    scaled down. The mesh run must match the SAME tiled config on a single
+    device (isolates the ring-attention delta; tile-vs-full VAE deviation
+    is covered by test_encode_tiled_matches_full / test_vae)."""
+    h = w = 32  # latent grid 8x8 with factor 4
+    images, masks, embeds, pooled = _fill_inputs(fill_bundle, h, w)
+    kw = dict(num_steps=2, guidance=30.0, strength=0.6, seeds=[0, 1],
+              hires_threshold_px=1, vae_tile=12, vae_overlap=4)
+    ref = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                   pooled, **kw)            # tiled, dense
+    hires = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                     pooled, mesh=mesh8, **kw)  # tiled+ring
+    assert hires.shape == ref.shape
+    assert np.isfinite(hires.astype(np.float32)).all()
+    assert np.max(np.abs(hires.astype(int) - ref.astype(int))) <= 1
+
+
+def test_fill_threshold_routes_lowres_to_dp(fill_bundle, mesh8):
+    """Below the threshold the mesh still means DP sharding (unchanged
+    round-1 behavior)."""
+    h = w = 16
+    images, masks, embeds, pooled = _fill_inputs(fill_bundle, h, w)
+    kw = dict(num_steps=2, guidance=30.0, strength=0.6, seeds=[0, 1])
+    ref = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                   pooled, **kw)
+    dp = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
+                                  pooled, mesh=mesh8,
+                                  hires_threshold_px=2048 * 2048, **kw)
+    np.testing.assert_array_equal(ref, dp)
+
+
+def test_encode_tiled_matches_full(fill_bundle, rng):
+    """Single-tile path is exact; multi-tile is bounded at the seams."""
+    cfg = fill_bundle.vae_cfg
+    params = fill_bundle.vae_params
+    img = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    full = np.asarray(vae_mod.encode(params, img, cfg))
+    exact = np.asarray(vae_mod.encode_tiled(params, img, cfg, tile=32))
+    np.testing.assert_array_equal(exact, full)
+    tiled = np.asarray(vae_mod.encode_tiled(params, img, cfg,
+                                            tile=8, overlap=4))
+    assert tiled.shape == full.shape
+    assert np.isfinite(tiled).all()
+    assert np.mean(np.abs(tiled - full)) < 0.5 * np.std(full)
+
+
+def test_sp_context_rings_sequence(mesh8, rng):
+    """attention() inside sp_attention == dense reference; composes with
+    tp_attention (heads over model axis) when the mesh has both axes."""
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 4, 50, 16)), jnp.float32)
+               for _ in range(3))
+    ref = np.asarray(attn_mod.attention_reference(q, k, v))
+    with attn_mod.sp_attention(mesh8, "data"):
+        out = np.asarray(attn_mod.attention(q, k, v))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    from domainrag_tpu.parallel import mesh as mesh_mod
+    mesh42 = mesh_mod.create_mesh(model_parallel=2)  # data=4 x model=2
+    with attn_mod.tp_attention(mesh42, "model"), \
+            attn_mod.sp_attention(mesh42, "data"):
+        out2 = np.asarray(attn_mod.attention(q, k, v))
+    np.testing.assert_allclose(out2, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_ring_head_axis_matches_dense(rng):
+    from domainrag_tpu.parallel import mesh as mesh_mod
+    mesh42 = mesh_mod.create_mesh(model_parallel=2)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 4, 37, 8)), jnp.float32)
+               for _ in range(3))
+    ref = np.asarray(attn_mod.attention_reference(q, k, v))
+    out = np.asarray(ring_attention_padded(q, k, v, mesh42, axis="data",
+                                           head_axis="model"))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
