@@ -155,6 +155,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--corpus_features", nargs="*", default=[],
                    help="precomputed bank: name=features.npy|.pt:paths.json "
                         "(reference --pretrained_coco_features migration)")
+    p.add_argument("--reference_artifacts", action="store_true",
+                   help="read retrieval JSONs produced by the reference "
+                        "implementation through the tolerant migration "
+                        "reader (zero-padded COCO ids, case-variant "
+                        "dataset keys, stale paths); fuzzy hits are "
+                        "logged loudly")
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 for the Flux models (12B fits "
                         "one chip; see models/quant.py)")
@@ -208,7 +214,9 @@ def main(argv=None) -> int:
         elif args.command == "retrieve":
             out = runner.run_retrieve()
         elif args.command == "generate":
-            out = runner.run_generate(resume=args.resume)
+            out = runner.run_generate(
+                resume=args.resume,
+                reference_artifacts=args.reference_artifacts)
         elif args.command == "compose":
             out = runner.run_compose(resume=args.resume,
                                      failed_only=args.failed_only)

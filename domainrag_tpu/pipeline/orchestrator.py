@@ -102,7 +102,8 @@ class PipelineRunner:
                 self.style_encoder, self.lamainpaint_dir,
                 self.retrieval_dir, self.cfg.retrieval)
 
-    def run_generate(self, resume: bool = False):
+    def run_generate(self, resume: bool = False,
+                     reference_artifacts: bool = False):
         results_file = os.path.join(self.retrieval_dir,
                                     "all_shots_retrieval_results.json")
         retrieval_results = {}
@@ -113,6 +114,10 @@ class PipelineRunner:
                                              self.cfg.generate)
         corpus_paths = [p for paths in self.corpus_sources.values()
                         for p in paths]
+        corpus_roots = {
+            src: os.path.commonpath(paths) if len(paths) > 1
+            else os.path.dirname(paths[0])
+            for src, paths in self.corpus_sources.items() if paths}
         # data-parallel sample batching when several devices are visible
         mesh = self._data_mesh()
         out = {}
@@ -125,7 +130,9 @@ class PipelineRunner:
                         corpus_paths=corpus_paths, resume=resume,
                         worker_id=self.cfg.worker_id,
                         num_workers=self.cfg.num_workers,
-                        mesh=mesh)
+                        mesh=mesh,
+                        reference_artifacts=reference_artifacts,
+                        corpus_roots=corpus_roots)
         return out
 
     def run_compose(self, resume: bool = False, failed_only: bool = False):

@@ -258,12 +258,20 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                     worker_id: int = 0,
                     num_workers: int = 1,
                     mesh=None,
-                    dp_samples: int = 0) -> Dict[str, int]:
+                    dp_samples: int = 0,
+                    reference_artifacts: bool = False,
+                    corpus_roots: Optional[Dict[str, str]] = None
+                    ) -> Dict[str, int]:
     """One dataset x shot sweep (ref :766-1058).
 
     With ``mesh``, samples are processed in data-parallel groups of
     ``dp_samples`` (default: enough samples to fill the data axis with
-    (sample, rank) rows) through :func:`generate_samples_dp`."""
+    (sample, rank) rows) through :func:`generate_samples_dp`.
+
+    ``reference_artifacts``: read the retrieval JSON through the tolerant
+    migration reader (stages.migrate) — accepts reference-produced key
+    drift (zero-padded COCO ids, case-variant dataset keys, stale paths)
+    and reports every fuzzy hit loudly."""
     shot_dir = os.path.join(lamainpaint_dir, dataset, f"{shot}_shot")
     if not os.path.isdir(shot_dir):
         logger.error("missing shot dir %s", shot_dir)
@@ -286,6 +294,11 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
     todo = set(manifest.pending(samples, resume=resume))
     reporter = ProgressReporter(len(todo), label="generate")
 
+    mig_stats = None
+    if reference_artifacts:
+        from .migrate import MigrationStats, find_sample_refs_tolerant
+        mig_stats = MigrationStats()
+
     # resolve refs for every pending sample first (cheap host work)
     items = []
     for sample_id in samples:
@@ -293,8 +306,14 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
             counters["skipped"] += 1
             continue
         target_path = os.path.join(shot_dir, f"{sample_id}.jpg")
-        refs = top_ranked_refs(retrieval_results, dataset, shot, sample_id,
-                               stage.cfg.top_ranks)
+        if reference_artifacts:
+            refs = find_sample_refs_tolerant(
+                retrieval_results, dataset, shot, sample_id,
+                stage.cfg.top_ranks, corpus_roots=corpus_roots,
+                stats=mig_stats)
+        else:
+            refs = top_ranked_refs(retrieval_results, dataset, shot,
+                                   sample_id, stage.cfg.top_ranks)
         if not refs:
             if not corpus_paths:
                 logger.warning("no retrieval refs and no corpus fallback "
@@ -356,5 +375,10 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                 manifest.mark(item["sample_id"], STATUS_FAILED,
                               error=str(e))
                 reporter.update(ok=False, detail=item["sample_id"])
+    if mig_stats is not None:
+        logger.warning("%s %d_shot %s", dataset, shot, mig_stats.summary())
+        counters["fuzzy_hits"] = mig_stats.fuzzy
+        counters["migration_missed"] = mig_stats.missed
+        counters["repaired_paths"] = mig_stats.repaired_paths
     logger.info("%s %d_shot generate: %s", dataset, shot, counters)
     return counters
