@@ -230,64 +230,90 @@ def convert_flux_vae(sd: Dict[str, np.ndarray],
 # full-deployment loader
 # ---------------------------------------------------------------------------
 
+def default_configs(fill: bool = False) -> dict:
+    """Production model configs per checkpoint subdir; the real-weights
+    harness overrides these with tiny configs for its self-test mode."""
+    return {
+        "flux": flux_mod.FLUX_FILL_DEV if fill else flux_mod.FLUX_DEV,
+        "vae": vae_mod.FLUX_VAE,
+        "t5": t5_mod.T5_XXL,
+        "clip_text": clip_mod.ClipTextConfig(),
+        "siglip": siglip_mod.SIGLIP_SO400M,
+        "redux": redux_mod.REDUX_DEV,
+    }
+
+
 def load_flux_bundle(checkpoints_dir: str, fill: bool = False,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16,
+                     configs: Optional[dict] = None):
     """Build a FluxBundle from a converted checkpoint tree:
 
     {checkpoints_dir}/
       flux-dev/ (or flux-fill/)  transformer safetensors
       vae/  t5/  clip-text/  siglip/  redux/  (safetensors each)
       tokenizer dirs per HF layout (optional; stub tokenizers otherwise)
+
+    ``configs`` overrides the production model configs (keys of
+    :func:`default_configs`) — used by the real-weights harness self-test.
     """
     from ..core import text as text_util
     from .flux import pipeline as flux_pipeline
 
-    flux_cfg = flux_mod.FLUX_FILL_DEV if fill else flux_mod.FLUX_DEV
+    c = dict(default_configs(fill))
+    c.update(configs or {})
     name = "flux-fill" if fill else "flux-dev"
     flux_params = convert_flux_transformer(
-        load_safetensors_dir(os.path.join(checkpoints_dir, name)), flux_cfg)
+        load_safetensors_dir(os.path.join(checkpoints_dir, name)),
+        c["flux"])
     vae_params = convert_flux_vae(
         load_safetensors_dir(os.path.join(checkpoints_dir, "vae")),
-        vae_mod.FLUX_VAE)
+        c["vae"])
     t5_params = t5_mod.convert_hf_t5(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "t5")),
-        t5_mod.T5_XXL)
+        load_safetensors_dir(os.path.join(checkpoints_dir, "t5")), c["t5"])
     clip_params = clip_mod.convert_hf_clip_text(
         load_safetensors_dir(os.path.join(checkpoints_dir, "clip-text")),
-        clip_mod.ClipTextConfig())
+        c["clip_text"])
     siglip_params = siglip_mod.convert_hf_siglip(
         load_safetensors_dir(os.path.join(checkpoints_dir, "siglip")),
-        siglip_mod.SIGLIP_SO400M)
+        c["siglip"])
     redux_params = redux_mod.convert_hf_redux(
         load_safetensors_dir(os.path.join(checkpoints_dir, "redux")))
     try:
         clip_tok, t5_tok = text_util.load_hf_tokenizers(checkpoints_dir)
     except Exception:
-        clip_tok = text_util.StubTokenizer(vocab_size=49408, bos_id=49406,
-                                           eos_id=49407)
-        t5_tok = text_util.StubTokenizer(vocab_size=32128, bos_id=None,
-                                         eos_id=1)
+        cv = c["clip_text"].vocab_size
+        clip_tok = text_util.StubTokenizer(vocab_size=cv, bos_id=cv - 2,
+                                           eos_id=cv - 1)
+        t5_tok = text_util.StubTokenizer(vocab_size=c["t5"].vocab_size,
+                                         bos_id=None, eos_id=1)
     return flux_pipeline.FluxBundle(
-        flux_params=flux_params, flux_cfg=flux_cfg,
-        vae_params=vae_params, vae_cfg=vae_mod.FLUX_VAE,
-        t5_params=t5_params, t5_cfg=t5_mod.T5_XXL,
-        clip_text_params=clip_params, clip_text_cfg=clip_mod.ClipTextConfig(),
-        siglip_params=siglip_params, siglip_cfg=siglip_mod.SIGLIP_SO400M,
-        redux_params=redux_params, redux_cfg=redux_mod.REDUX_DEV,
+        flux_params=flux_params, flux_cfg=c["flux"],
+        vae_params=vae_params, vae_cfg=c["vae"],
+        t5_params=t5_params, t5_cfg=c["t5"],
+        clip_text_params=clip_params, clip_text_cfg=c["clip_text"],
+        siglip_params=siglip_params, siglip_cfg=c["siglip"],
+        redux_params=redux_params, redux_cfg=c["redux"],
         clip_tokenizer=clip_tok, t5_tokenizer=t5_tok,
+        t5_max_len=c.get("t5_max_len", 512),
+        clip_max_len=min(77, c["clip_text"].max_len),
         compute_dtype=compute_dtype)
 
 
 def build_runner_from_checkpoints(checkpoints_dir: str, cfg,
-                                  corpus_sources: Optional[dict] = None):
-    """PipelineRunner with real weights (CLI --checkpoints)."""
+                                  corpus_sources: Optional[dict] = None,
+                                  configs: Optional[dict] = None):
+    """PipelineRunner with real weights (CLI --checkpoints).
+
+    ``configs`` may additionally carry "clip_vision" / "lama" overrides."""
     from ..pipeline.orchestrator import PipelineRunner
     from ..stages import inpaint as inpaint_stage
     from ..stages.encoders import ClipImageEncoder, StyleEncoder
     from . import lama as lama_mod
     from . import resnet_stem
 
-    clip_vision_cfg = clip_mod.ClipVisionConfig()
+    configs = configs or {}
+    clip_vision_cfg = configs.get("clip_vision", clip_mod.ClipVisionConfig())
+    lama_cfg = configs.get("lama", lama_mod.BIG_LAMA)
     clip_vision = clip_mod.convert_hf_clip_vision(
         load_safetensors_dir(os.path.join(checkpoints_dir, "clip-vision")),
         clip_vision_cfg)
@@ -297,15 +323,16 @@ def build_runner_from_checkpoints(checkpoints_dir: str, cfg,
         stem_sd["conv1.weight"], stem_sd["bn1.weight"], stem_sd["bn1.bias"],
         stem_sd["bn1.running_mean"], stem_sd["bn1.running_var"])
     lama_sd = load_safetensors_dir(os.path.join(checkpoints_dir, "lama"))
-    lama_params = convert_lama(lama_sd, lama_mod.BIG_LAMA)
+    lama_params = convert_lama(lama_sd, lama_cfg)
     return PipelineRunner(
         cfg=cfg,
-        lama_runner=inpaint_stage.LamaRunner(lama_params,
-                                             lama_mod.BIG_LAMA),
+        lama_runner=inpaint_stage.LamaRunner(lama_params, lama_cfg),
         clip_encoder=ClipImageEncoder(clip_vision, clip_vision_cfg),
         style_encoder=StyleEncoder(stem_params),
-        flux_bundle=load_flux_bundle(checkpoints_dir, fill=False),
-        fill_bundle=load_flux_bundle(checkpoints_dir, fill=True),
+        flux_bundle=load_flux_bundle(checkpoints_dir, fill=False,
+                                     configs=configs),
+        fill_bundle=load_flux_bundle(checkpoints_dir, fill=True,
+                                     configs=configs),
         corpus_sources=corpus_sources or {},
     )
 

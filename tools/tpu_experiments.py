@@ -15,14 +15,21 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
-def _timeit(fn, *args, reps=3, chain=1):
+def _fetch1(out):
+    """Force completion by fetching ONE element (device-side slice first —
+    np.asarray(full_array) would drag the whole buffer through the
+    tunnel and dominate the measurement)."""
     import jax
-    out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]  # warm
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = tuple(0 for _ in leaf.shape[:-1])
+    return np.asarray(leaf[idx][:1])
+
+
+def _timeit(fn, *args, reps=3, chain=1):
+    _fetch1(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        _fetch1(fn(*args))
     return (time.perf_counter() - t0) / (reps * chain)
 
 
@@ -93,20 +100,50 @@ def exp_w8a8():
 
 
 def exp_flashblocks():
-    """Flash attention block-size sweep at the Flux 1024 px + fill shapes."""
+    """Flash attention block-size sweep at the Flux 1024 px + fill shapes.
+
+    8 calls chained in ONE executable (output feeds q) — single-call
+    timings through the tunnel are dominated by ~30 ms dispatch RTT."""
+    import jax
     import jax.numpy as jnp
     from domainrag_tpu.ops.attention import flash_attention
 
     rng = np.random.default_rng(0)
-    print("== flash attention block sweep ==")
+    n_chain = 8
+    print("== flash attention block sweep (chained x8, per layer) ==")
     for seq in (4608, 8448):        # 1024 px gen; 1448^2-ish fill
         q = jnp.asarray(rng.standard_normal((1, 24, seq, 128)),
                         jnp.bfloat16)
-        for bq, bkv in [(256, 512), (512, 512), (256, 1024), (512, 1024),
-                        (1024, 1024), (128, 512)]:
-            t = _timeit(lambda q=q, bq=bq, bkv=bkv: flash_attention(
-                q, q, q, block_q=bq, block_kv=bkv))
-            print(f"  seq={seq} bq={bq} bkv={bkv}: {t*1e3:.2f} ms")
+        flops = 4 * seq * seq * 128 * 24
+        for bq, bkv in [(256, 512), (512, 1024), (1024, 1024),
+                        (256, 2048), (256, 4608), (512, 2304),
+                        (128, 4608)]:
+
+            @jax.jit
+            def chain(y, bq=bq, bkv=bkv):
+                for _ in range(n_chain):
+                    y = flash_attention(y, y, y, block_q=bq, block_kv=bkv)
+                return y
+
+            t = _timeit(chain, q, chain=n_chain)
+            print(f"  seq={seq} bq={bq} bkv={bkv}: {t*1e3:.2f} ms "
+                  f"({flops/t/1e12:.0f} TF/s, "
+                  f"{flops/t/197e12*100:.0f}% MFU)")
+        # dense XLA reference at the same shape
+        from domainrag_tpu.ops.attention import attention_reference
+
+        @jax.jit
+        def chain_ref(y):
+            for _ in range(n_chain):
+                y = attention_reference(y, y, y)
+            return y
+
+        try:
+            t = _timeit(chain_ref, q, chain=n_chain)
+            print(f"  seq={seq} dense XLA: {t*1e3:.2f} ms "
+                  f"({flops/t/1e12:.0f} TF/s)")
+        except Exception as e:  # noqa: BLE001
+            print(f"  seq={seq} dense XLA: failed ({str(e)[:80]})")
 
 
 def exp_hires():
@@ -140,6 +177,62 @@ def exp_hires():
               f"{str(e)[:120]})")
 
 
+def exp_stepbreak():
+    """Where does the denoise step go? Time a 4d+8s bf16 proxy forward
+    with (a) flash attention, (b) attention replaced by identity —
+    the difference is the true attention share."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import attention as attn_mod
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_proxy
+
+    cfg, params = build_proxy(4, 8)
+    grid, s_txt = 64, 512
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal(
+        (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, cfg.text_dim)),
+                      jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)),
+                         jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    t = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+
+    n_chain = 4
+
+    def fwd_chain(x):
+        y = x
+        for _ in range(n_chain):
+            y = flux.apply(params, y, txt, pooled, t, img_ids, txt_ids,
+                           cfg, guidance=g).astype(jnp.bfloat16)
+        return y
+
+    t_flash = _timeit(jax.jit(fwd_chain), img, chain=n_chain)
+
+    ident = lambda q, k, v, **kw: v  # noqa: E731
+    orig = attn_mod.attention
+    attn_mod.attention = ident
+    flux.attention = ident
+    try:
+        t_noattn = _timeit(jax.jit(fwd_chain), img, chain=n_chain)
+    finally:
+        attn_mod.attention = orig
+        flux.attention = orig
+
+    n_layers = cfg.depth_double + cfg.depth_single
+    print("== step breakdown (4d+8s proxy, 4608 tok) ==")
+    print(f"  full fwd: {t_flash*1e3:.1f} ms | no-attention: "
+          f"{t_noattn*1e3:.1f} ms | attention share: "
+          f"{(t_flash-t_noattn)*1e3:.1f} ms "
+          f"({(t_flash-t_noattn)/n_layers*1e3:.2f} ms/layer, "
+          f"{(t_flash-t_noattn)/t_flash*100:.0f}%)")
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
@@ -152,6 +245,8 @@ def main():
         exp_flashblocks()
     if "all" in which or "hires" in which:
         exp_hires()
+    if "all" in which or "stepbreak" in which:
+        exp_stepbreak()
 
 
 if __name__ == "__main__":
