@@ -14,36 +14,101 @@ cost is constant in depth, so the extrapolation is exact up to the
 (unmeasured, amortized) non-block overhead — extrapolated numbers are
 marked as such in BENCH_NOTES.md.
 
-vs_baseline: the reference's achieved throughput on its own 8x-GPU recipe
-is not published (SURVEY.md §6); BENCH_NOTES.md derives the 2.0
-images/min/GPU estimate used here (A100 bf16, 28 steps, diffusers).
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6),
+so the baseline is an explicit FLOP-accounted model of the reference
+AS WRITTEN — per-sample pipeline reloads
+(/root/reference/outpainting_updown_sampling_redux.py:1185), 50 steps,
+sequential ranks, eager diffusers on an A100 — fully derived in
+BENCH_NOTES.md §"Reference baseline". A second, generous "ideal serving"
+baseline (28 steps, no reloads, compiled) is reported alongside so the
+claim is bounded from both sides.
+
+Extra env modes: BENCH_W8A8=1 (int8 activations on the int8 MXU path),
+BENCH_E2E=1 (adds Redux prior + VAE decode + PNG IO to the measured
+image), BENCH_HIRES=1 (2048 px fill-regime step + tiled VAE, OOM check),
+BENCH_CHECKS=0 (skip the on-TPU exactness assertions).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-# Estimated reference throughput (images/min per A100 GPU, 1024 px,
-# 28-step flux-dev) — derivation in BENCH_NOTES.md.
-REFERENCE_IMAGES_PER_MIN = 2.0
+# Reference throughput model (images/min per A100 GPU, 1024 px) — full
+# derivation in BENCH_NOTES.md. "as written": 50 steps + per-sample
+# pipeline reloads + eager diffusers (~25% MFU). "ideal": 28 steps, no
+# reloads, compiled (~45% MFU) — a serving stack the reference does not
+# contain, priced in its favor.
+REFERENCE_AS_WRITTEN_IPM = 1.0
+REFERENCE_IDEAL_SERVING_IPM = 2.5
 
 NUM_STEPS = 28
 HEIGHT = WIDTH = 1024
 
 
-def build_proxy(depth_double: int, depth_single: int):
+def run_exactness_checks() -> None:
+    """On-TPU regression assertions folded into every bench run
+    (VERDICT r1 weak #6): retrieval top-k vs the numpy oracle on both
+    backends, and Pallas flash attention vs dense XLA attention."""
     import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops.topk import (topk_ip, topk_ip_numpy,
+                                        topk_ip_pallas)
+    from domainrag_tpu.ops.attention import (attention_reference,
+                                             flash_attention)
+
+    interp = jax.default_backend() != "tpu"  # Pallas interpret off-TPU
+    rng = np.random.default_rng(7)
+    n_bank, n_q = (4096, 16) if not interp else (512, 4)  # interpret: slow
+    bank = rng.standard_normal((n_bank, 512)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=1, keepdims=True)
+    q = rng.standard_normal((n_q, 512)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    _, oracle_idx = topk_ip_numpy(q, bank, 100)
+    _, xla_idx = topk_ip(jnp.asarray(q), jnp.asarray(bank), 100)
+    assert np.array_equal(np.asarray(xla_idx), oracle_idx), \
+        "XLA top-k diverged from oracle on this backend"
+    _, pl_idx = topk_ip_pallas(jnp.asarray(q), jnp.asarray(bank), 100,
+                               interpret=interp)
+    assert np.array_equal(np.asarray(pl_idx), oracle_idx), \
+        "Pallas top-k diverged from oracle on this backend"
+
+    s_attn = 512 if not interp else 128
+    qh = jnp.asarray(rng.standard_normal((1, 4, s_attn, 128)),
+                     jnp.bfloat16)
+    flash = np.asarray(flash_attention(qh, qh, qh, interpret=interp),
+                       np.float32)
+    dense = np.asarray(attention_reference(qh, qh, qh), np.float32)
+    err = np.abs(flash - dense).max() / (np.abs(dense).max() + 1e-8)
+    assert err < 0.02, f"flash vs dense attention rel err {err:.4f}"
+    print(f"exactness checks passed (flash rel err {err:.2e})",
+          file=sys.stderr)
+
+
+def build_proxy(depth_double: int, depth_single: int):
+    """Proxy MMDiT with production layer shapes, reduced depth. Weights
+    are synthesized HOST-side in numpy and shipped bf16: a device-side
+    f32 `flux.init` of the 4d+8s proxy needs ~15 GB transient HBM (f32
+    tree + bf16 cast) and OOMs when anything else is resident."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
     from domainrag_tpu.models.flux import model as flux
 
     cfg = flux.FluxConfig(depth_double=depth_double,
                           depth_single=depth_single)
-    params = flux.init(jax.random.PRNGKey(0), cfg)
-    import jax.numpy as jnp
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params)
-    return cfg, params
+    shapes = jax.eval_shape(lambda k: flux.init(k, cfg),
+                            jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def synth(leaf):
+        return jax.device_put(
+            (rng.standard_normal(leaf.shape).astype(np.float32) * 0.02
+             ).astype(ml_dtypes.bfloat16))
+
+    del jnp
+    return cfg, jax.tree_util.tree_map(synth, shapes)
 
 
 def build_full_int8():
@@ -127,7 +192,16 @@ def build_full_int8():
 
 
 def main() -> None:
+    import os
     import jax
+
+    # NB: this environment preloads jax at interpreter startup (axon TPU
+    # integration), so the JAX_PLATFORMS env var is read too early to
+    # matter — use BENCH_PLATFORM=cpu for a CPU smoke run (same mechanism
+    # as tests/conftest.py).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     import jax.numpy as jnp
     from domainrag_tpu.models.flux import model as flux
     from domainrag_tpu.models.flux import scheduler as sched
@@ -136,11 +210,15 @@ def main() -> None:
     # through the remote-compile tunnel on a cold run
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import os
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     quantized = on_tpu and os.environ.get("BENCH_QUANT", "1") != "0"
+    w8a8 = quantized and os.environ.get("BENCH_W8A8", "0") == "1"
+    if os.environ.get("BENCH_CHECKS", "1") != "0":
+        run_exactness_checks()
+    if w8a8:
+        from domainrag_tpu.models import common as _common
+        _common.set_int8_activations(True)
     if on_tpu:
         depth_double, depth_single = 4, 8   # ~2.5B, fits 16 GB HBM in bf16
         override = os.environ.get("BENCH_DEPTHS")  # e.g. "2,4" for the
@@ -200,8 +278,8 @@ def main() -> None:
 
     if quantized:
         images_per_min = 60.0 / elapsed
-        metric = ("flux-1024px-28step-images-per-min-per-chip"
-                  "(12B-int8-weights-measured)")
+        tag = "12B-int8w8a8-measured" if w8a8 else "12B-int8-weights-measured"
+        metric = f"flux-1024px-28step-images-per-min-per-chip({tag})"
     else:
         # scale proxy blocks -> full model blocks (cost linear in depth;
         # double blocks cost ~2x a single block at same hidden width)
@@ -213,13 +291,165 @@ def main() -> None:
                   f"(12B-extrapolated-from-{depth_double}d{depth_single}s"
                   "-proxy)")
 
+    # MFU from exact FLOP accounting (eval/flops.py; fixes the round-1
+    # overcount). Denominator is the chip's bf16 peak: for int8-weight
+    # serving the MXU still computes bf16; for W8A8 we also report
+    # utilization of the doubled int8 peak.
+    from domainrag_tpu.eval import flops as flops_mod
+    from domainrag_tpu.models.flux.model import FLUX_DEV
+    step_flops = flops_mod.flux_forward_flops(FLUX_DEV, seq, s_txt).total
+    step_seconds = 60.0 / images_per_min / NUM_STEPS
+    mfu_bf16 = flops_mod.mfu(step_flops, step_seconds,
+                             flops_mod.PEAK_TFLOPS["tpu-v5e"]) \
+        if on_tpu else None
+
     result = {
         "metric": metric,
         "value": round(images_per_min, 4),
         "unit": "images/min/chip",
-        "vs_baseline": round(images_per_min / REFERENCE_IMAGES_PER_MIN, 3),
+        # vs the reference AS WRITTEN (50 steps + per-sample pipeline
+        # reloads + eager diffusers; BENCH_NOTES.md "Reference baseline")
+        "vs_baseline": round(images_per_min / REFERENCE_AS_WRITTEN_IPM, 3),
+        # vs a generous idealized reference serving stack (28 steps,
+        # resident pipelines, compiled) that the reference does not ship
+        "vs_baseline_ideal_serving": round(
+            images_per_min / REFERENCE_IDEAL_SERVING_IPM, 3),
+        "step_seconds": round(step_seconds, 4),
+        "step_tflops": round(step_flops / 1e12, 2),
     }
+    if mfu_bf16 is not None:
+        result["mfu_vs_bf16_peak"] = round(mfu_bf16, 4)
+        if w8a8:
+            result["mfu_vs_int8_peak"] = round(mfu_bf16 / 2.0, 4)
+
+    if os.environ.get("BENCH_E2E", "0") == "1" and on_tpu:
+        result.update(bench_e2e_components(elapsed))
+    if os.environ.get("BENCH_HIRES", "0") == "1" and on_tpu:
+        result.update(bench_hires_fill(params, cfg))
     print(json.dumps(result))
+
+
+def bench_e2e_components(denoise_seconds: float) -> dict:
+    """Measure the non-denoise pieces of one served image ONCE at full
+    size (VERDICT r1 weak #5): SigLIP+Redux dual-image prior, 1024 px VAE
+    decode, and host PNG encode. Text-encoder cost is excluded: stage 3
+    uses empty prompts (ref batch_generate_flux_kshot.py:64), so CLIP/T5
+    embeds are computed once per run and cached."""
+    import io
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from domainrag_tpu.models import siglip as siglip_mod
+    from domainrag_tpu.models import redux as redux_mod
+    from domainrag_tpu.models.flux import vae as vae_mod
+
+    rng = np.random.default_rng(0)
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    scfg = siglip_mod.SIGLIP_SO400M
+    sparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        siglip_mod.init(jax.random.PRNGKey(0), scfg))
+    rcfg = redux_mod.REDUX_DEV
+    rparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        redux_mod.init(jax.random.PRNGKey(1), rcfg))
+    imgs = jnp.asarray(rng.standard_normal(
+        (2, scfg.image_size, scfg.image_size, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def prior(imgs):
+        h = siglip_mod.apply(sparams, imgs, scfg)
+        return redux_mod.apply(rparams, h)
+
+    t_prior = timeit(prior, imgs)
+
+    vcfg = vae_mod.FLUX_VAE
+    vparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        vae_mod.init(jax.random.PRNGKey(2), vcfg))
+    lat = jnp.asarray(rng.standard_normal((1, 128, 128, 16)), jnp.bfloat16)
+    decode = jax.jit(lambda z: vae_mod.decode(vparams, z, vcfg))
+    t_vae = timeit(decode, lat)
+
+    px = np.asarray(
+        jnp.clip((decode(lat)[0].astype(jnp.float32) + 1) * 127.5,
+                 0, 255)).astype(np.uint8)
+    t0 = time.perf_counter()
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    t_io = time.perf_counter() - t0
+
+    total = denoise_seconds + t_prior + t_vae + t_io
+    return {
+        "e2e_prior_seconds": round(t_prior, 4),
+        "e2e_vae_decode_seconds": round(t_vae, 4),
+        "e2e_png_io_seconds": round(t_io, 4),
+        "e2e_images_per_min": round(60.0 / total, 4),
+        "e2e_denoise_share": round(denoise_seconds / total, 4),
+    }
+
+
+def bench_hires_fill(params, cfg) -> dict:
+    """2048 px fill-regime entry (VERDICT r1 item 1): one full-model
+    denoise step at 16384+512 tokens plus a tiled 2048 px VAE decode,
+    both on the real chip — the OOM check for the UODD upscale config
+    (ref outpainting_updown_sampling_redux.py:72-82)."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.models.flux import vae as vae_mod
+
+    rng = np.random.default_rng(0)
+    grid, s_txt = 128, 512                     # 2048 px -> 16384 tokens
+    lat = jnp.asarray(rng.standard_normal(
+        (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+    txt = jnp.asarray(rng.standard_normal(
+        (1, s_txt, cfg.text_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal(
+        (1, cfg.pooled_dim)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+
+    @jax.jit
+    def step(params, x):
+        return flux.apply(params, x, txt, pooled,
+                          jnp.full((1,), 0.5, jnp.float32), img_ids,
+                          txt_ids, cfg,
+                          guidance=jnp.full((1,), 30.0, jnp.float32))
+
+    _ = np.asarray(step(params, lat)[0, 0, :1])
+    t0 = time.perf_counter()
+    _ = np.asarray(step(params, lat)[0, 0, :1])
+    t_step = time.perf_counter() - t0
+
+    vcfg = vae_mod.FLUX_VAE
+    vparams = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        vae_mod.init(jax.random.PRNGKey(2), vcfg))
+    z = jnp.asarray(rng.standard_normal((1, 256, 256, 16)), jnp.bfloat16)
+    tiled = jax.jit(lambda z: vae_mod.decode_tiled(vparams, z, vcfg))
+    _ = np.asarray(tiled(z)[0, 0, 0, :1])
+    t0 = time.perf_counter()
+    _ = np.asarray(tiled(z)[0, 0, 0, :1])
+    t_vae = time.perf_counter() - t0
+
+    from domainrag_tpu.eval import flops as flops_mod
+    fl = flops_mod.flux_forward_flops(cfg, grid * grid, s_txt).total
+    return {
+        "hires2048_step_seconds": round(t_step, 4),
+        "hires2048_step_tflops": round(fl / 1e12, 1),
+        "hires2048_mfu_vs_bf16_peak": round(
+            flops_mod.mfu(fl, t_step, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4),
+        "hires2048_tiled_vae_seconds": round(t_vae, 4),
+    }
 
 
 if __name__ == "__main__":

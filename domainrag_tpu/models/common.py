@@ -41,17 +41,47 @@ def linear_init(key, d_in, d_out, bias=True, std=None) -> Params:
     return p
 
 
+# Serving mode (models.quant): when enabled, quantized linears also
+# quantize activations per token to int8 and run the dot as int8×int8 on
+# the MXU — 2× peak over bf16 on v5e (394 TOPS vs 197 TFLOPS). Read at
+# trace time; toggle BEFORE jit-compiling the serving graph.
+_INT8_ACTIVATIONS = False
+
+
+def set_int8_activations(enabled: bool) -> None:
+    global _INT8_ACTIVATIONS
+    if bool(enabled) == _INT8_ACTIVATIONS:
+        return
+    _INT8_ACTIVATIONS = bool(enabled)
+    # the flag is read at TRACE time: jitted callables compiled before the
+    # toggle would silently keep the old path — drop compiled caches so
+    # every entry point retraces under the new mode
+    jax.clear_caches()
+
+
 # All matmuls request precision="highest": a no-op for bf16 operands (the
 # MXU consumes bf16 natively) but required for f32 parity paths — default
 # backend matmul precision truncates f32 to bf16 passes on both CPU (oneDNN)
 # and TPU, which breaks retrieval index exactness.
 def linear(p: Params, x: jax.Array) -> jax.Array:
     if "w_q" in p:
-        # weight-only int8 (models.quant): w = w_q * diag(s), so
-        # y = (x @ w_q) * s — the dequantized weight never materializes
-        y = jnp.dot(x, p["w_q"].astype(x.dtype),
-                    preferred_element_type=x.dtype)
-        y = y * p["w_s"].astype(x.dtype)
+        if _INT8_ACTIVATIONS:
+            # W8A8: dynamic symmetric per-token activation quant, int8
+            # MXU dot, rescale by (token amax/127) · per-column w_s
+            xf = x.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+            amax = jnp.maximum(amax, 1e-12)
+            xq = jnp.clip(jnp.round(xf / amax), -127, 127).astype(jnp.int8)
+            acc = jnp.dot(xq, p["w_q"], preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * amax
+                 * p["w_s"].astype(jnp.float32)).astype(x.dtype)
+        else:
+            # weight-only int8 (models.quant): w = w_q * diag(s), so
+            # y = (x @ w_q) * s — the dequantized weight never
+            # materializes
+            y = jnp.dot(x, p["w_q"].astype(x.dtype),
+                        preferred_element_type=x.dtype)
+            y = y * p["w_s"].astype(x.dtype)
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype),
                     preferred_element_type=x.dtype, precision="highest")
