@@ -96,6 +96,15 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _tuned_blocks(s_kv: int):
+    """Measured block policy (tools/tpu_experiments.py flashblocks, v5e):
+    a single KV pass (block_kv = whole padded KV) is 1.7x the old 256/512
+    default at the 1024 px Flux shape (4608 tokens: 4.98 vs 8.53 ms/layer)
+    and best at 8448 tokens (10.8 vs 16.4 ms); beyond 4608 the KV tiles at
+    4608 to bound VMEM (scores block 256x4608 f32 = 4.7 MB)."""
+    return 256, min(_round_up(s_kv, 128), 4608)
+
+
 def _plan(q, k, block_q, block_kv):
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
@@ -174,11 +183,15 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
 
 
 def flash_attention_lse(q, k, v, kv_valid=None,
-                        block_q: int = 256, block_kv: int = 512,
+                        block_q: int = None, block_kv: int = None,
                         interpret: bool = False):
     """Flash forward returning (out (B,H,Sq,D), lse (B,H,Sq,1) f32) — the
     partial-softmax form ring attention merges across sequence shards.
-    Not differentiable (serving path)."""
+    Not differentiable (serving path). Default blocks: measured policy
+    (:func:`_tuned_blocks`)."""
+    tq, tkv = _tuned_blocks(k.shape[2])
+    block_q = tq if block_q is None else block_q
+    block_kv = tkv if block_kv is None else block_kv
     b, h, s_q, _ = q.shape
     out, lse = _flash_forward(q, k, v, False, block_q, block_kv, interpret,
                               kv_valid=kv_valid)
@@ -283,6 +296,10 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_backward(res, g, causal, block_q, block_kv, interpret):
     q, k, v, out, lse = res
+    # the backward kernels keep ~3x the forward's VMEM live per (bq, bkv)
+    # tile (p + dp + dk/dv accumulators) — cap the kv block so the tuned
+    # single-pass forward blocks don't blow the 16 MB budget here
+    block_kv = min(block_kv, 1024)
     b, h, s_q, s_kv, d, d_pad, bq, bkv, sq_pad, skv_pad = _plan(
         q, k, block_q, block_kv)
     scale = 1.0 / math.sqrt(d)
@@ -372,7 +389,7 @@ _flash_attention_diff.defvjp(_flash_fwd_rule, _flash_bwd_rule)
                                              "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     causal: bool = False,
-                    block_q: int = 256, block_kv: int = 512,
+                    block_q: int = None, block_kv: int = None,
                     interpret: bool = False) -> jax.Array:
     """(B, H, Sq, D) x (B, H, Skv, D) -> (B, H, Sq, D).
 
@@ -380,8 +397,13 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     sizes with masking, so arbitrary (even prime) lengths are exact.
     Differentiable: a custom VJP runs the flash backward (dq and dk/dv
     kernels with the stored logsumexp), so training uses the same
-    O(seq)-memory path as inference.
+    O(seq)-memory path as inference. Default blocks come from the
+    measured policy (:func:`_tuned_blocks`); the backward caps its kv
+    block independently for VMEM.
     """
+    tq, tkv = _tuned_blocks(k.shape[2])
+    block_q = tq if block_q is None else block_q
+    block_kv = tkv if block_kv is None else block_kv
     return _flash_attention_diff(q, k, v, causal, block_q, block_kv,
                                  interpret)
 

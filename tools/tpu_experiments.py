@@ -205,21 +205,23 @@ def exp_stepbreak():
 
     n_chain = 4
 
-    def fwd_chain(x):
+    def fwd_chain(params, x):
+        # params as an ARGUMENT — closing over them bakes 5 GB of
+        # constants into the lowering and stalls the remote compile
         y = x
         for _ in range(n_chain):
             y = flux.apply(params, y, txt, pooled, t, img_ids, txt_ids,
                            cfg, guidance=g).astype(jnp.bfloat16)
         return y
 
-    t_flash = _timeit(jax.jit(fwd_chain), img, chain=n_chain)
+    t_flash = _timeit(jax.jit(fwd_chain), params, img, chain=n_chain)
 
     ident = lambda q, k, v, **kw: v  # noqa: E731
     orig = attn_mod.attention
     attn_mod.attention = ident
     flux.attention = ident
     try:
-        t_noattn = _timeit(jax.jit(fwd_chain), img, chain=n_chain)
+        t_noattn = _timeit(jax.jit(fwd_chain), params, img, chain=n_chain)
     finally:
         attn_mod.attention = orig
         flux.attention = orig
