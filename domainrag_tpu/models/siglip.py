@@ -69,7 +69,11 @@ def init(key, cfg: SiglipVisionConfig = SIGLIP_SO400M) -> Params:
 def _patchify(images: jax.Array, patch: int) -> jax.Array:
     b, h, w, c = images.shape
     gh, gw = h // patch, w // patch
-    x = images.reshape(b, gh, patch, gw, patch, c)
+    # floor like the HF strided conv: so400m is 384 px with patch 14
+    # (27x27 = 729 patches), so the trailing 384 - 27*14 = 6 pixels are
+    # discarded — an exact reshape would require divisibility
+    x = images[:, :gh * patch, :gw * patch]
+    x = x.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, gh * gw, patch * patch * c)
 

@@ -69,6 +69,31 @@ def test_siglip_parity(rng):
     np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-5)
 
 
+def test_siglip_parity_nondivisible(rng):
+    """so400m is 384 px / patch 14 (NOT divisible): the HF strided conv
+    floors to 27x27 patches, discarding 6 trailing pixels. Regression for
+    the production-size crash the exact-reshape patchify had (tiny 28/7
+    configs never exercised flooring)."""
+    from transformers import SiglipVisionConfig as HFCfg, SiglipVisionModel
+    torch.manual_seed(0)
+    hf_cfg = HFCfg(hidden_size=48, intermediate_size=96,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   image_size=32, patch_size=7,   # 32 % 7 != 0 -> 4x4
+                   hidden_act="gelu_pytorch_tanh")
+    model = SiglipVisionModel(hf_cfg).eval()
+
+    cfg = siglip.SiglipVisionConfig(image_size=32, patch_size=7, hidden=48,
+                                    mlp_dim=96, layers=2, heads=4)
+    params = siglip.convert_hf_siglip(model.state_dict(), cfg)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(
+            images.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    ours = np.asarray(siglip.apply(params, jnp.asarray(images), cfg))
+    assert ours.shape == ref.shape == (2, 16, 48)
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-5)
+
+
 def test_redux_combine_dual_image(rng):
     """The [0.8, 1.0] dual-image fusion: weighted sum over the image axis."""
     text = jnp.asarray(rng.standard_normal((2, 4, 8)).astype(np.float32))
