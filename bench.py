@@ -328,11 +328,51 @@ def main() -> None:
         if w8a8:
             result["mfu_vs_int8_peak"] = round(mfu_bf16 / 2.0, 4)
 
-    if os.environ.get("BENCH_E2E", "0") == "1" and on_tpu:
-        result.update(bench_e2e_components(elapsed))
-    if os.environ.get("BENCH_HIRES", "0") == "1" and on_tpu:
-        result.update(bench_hires_fill(params, cfg))
+    # optional sections are best-effort: a transient remote-compile/tunnel
+    # failure must not lose the headline measurement
+    def _section(flag, default, name, fn, *args):
+        if os.environ.get(flag, default) != "1" or not on_tpu:
+            return
+        try:
+            result.update(fn(*args))
+        except Exception as e:  # noqa: BLE001
+            result[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+    _section("BENCH_E2E", "0", "e2e", bench_e2e_components,
+             elapsed / batch)
+    _section("BENCH_HIRES", "0", "hires2048", bench_hires_fill, params, cfg)
+    _section("BENCH_RETRIEVAL", "1", "retrieval", bench_retrieval_qps)
     print(json.dumps(result))
+
+
+def bench_retrieval_qps() -> dict:
+    """Exact top-100 retrieval QPS over a device-resident 100k x 512 bank
+    (BASELINE.json names retrieval QPS as part of the headline metric).
+    20 searches chained in one executable; forced value fetch."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops.topk import topk_ip
+
+    rng = np.random.default_rng(3)
+    bank = jnp.asarray(rng.standard_normal((100_000, 512)), jnp.float32)
+    bank = bank / jnp.linalg.norm(bank, axis=1, keepdims=True)
+    q = jnp.asarray(rng.standard_normal((128, 512)), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    n_chain = 20
+
+    @jax.jit
+    def chain(q, bank):
+        idx = jnp.zeros((q.shape[0], 100), jnp.int32)
+        for i in range(n_chain):
+            _, ix = topk_ip(q + 1e-6 * i, bank, 100)  # defeat CSE
+            idx = idx + ix
+        return idx
+
+    _ = np.asarray(chain(q, bank)[0, :1])
+    t0 = time.perf_counter()
+    _ = np.asarray(chain(q, bank)[0, :1])
+    per_call = (time.perf_counter() - t0) / n_chain
+    return {"retrieval_qps_100k_bank": round(128 / per_call, 1)}
 
 
 def bench_e2e_components(denoise_seconds: float) -> dict:
@@ -382,8 +422,13 @@ def bench_e2e_components(denoise_seconds: float) -> dict:
         lambda x: x.astype(jnp.bfloat16),
         vae_mod.init(jax.random.PRNGKey(2), vcfg))
     lat = jnp.asarray(rng.standard_normal((1, 128, 128, 16)), jnp.bfloat16)
-    decode = jax.jit(lambda z: vae_mod.decode(vparams, z, vcfg))
-    t_vae = timeit(decode, lat)
+    try:
+        decode = jax.jit(lambda z: vae_mod.decode(vparams, z, vcfg))
+        t_vae = timeit(decode, lat)
+    except Exception:  # noqa: BLE001 — remote compile limits on the
+        # full-frame 1024px decode graph; production _fill_core tiles
+        decode = jax.jit(lambda z: vae_mod.decode_tiled(vparams, z, vcfg))
+        t_vae = timeit(decode, lat)
 
     px = np.asarray(
         jnp.clip((decode(lat)[0].astype(jnp.float32) + 1) * 127.5,

@@ -223,7 +223,9 @@ def main(argv=None) -> int:
         else:
             stages = tuple(x.strip() for x in args.stages.split(",")
                            if x.strip())
-            out = runner.run(stages=stages, resume=args.resume)
+            out = runner.run(stages=stages, resume=args.resume,
+                             failed_only=args.failed_only,
+                             reference_artifacts=args.reference_artifacts)
     print(json.dumps(_summarize(out), indent=2, default=str))
     return 0
 

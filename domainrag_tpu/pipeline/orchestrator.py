@@ -153,12 +153,14 @@ class PipelineRunner:
         return out
 
     def run(self, stages: Sequence[str] = STAGES, resume: bool = False,
-            failed_only: bool = False):
+            failed_only: bool = False, reference_artifacts: bool = False):
         """Run the DAG (or a contiguous subset — artifacts on disk carry
         state between invocations, exactly like the reference's phases).
 
         ``failed_only`` forwards to compose's failed-only re-run
-        (ref outpainting_updown_sampling_redux.py:2064-2079)."""
+        (ref outpainting_updown_sampling_redux.py:2064-2079);
+        ``reference_artifacts`` forwards to generate's tolerant reader for
+        reference-produced retrieval JSONs (stages/migrate.py)."""
         results = {}
         for stage in stages:
             if stage not in STAGES:
@@ -170,6 +172,9 @@ class PipelineRunner:
             elif stage == "compose":
                 results[stage] = self.run_compose(resume=resume,
                                                   failed_only=failed_only)
+            elif stage == "generate":
+                results[stage] = self.run_generate(
+                    resume=resume, reference_artifacts=reference_artifacts)
             else:
                 results[stage] = getattr(self, f"run_{stage}")(resume=resume)
         results["timings"] = self.timer.summary()

@@ -44,3 +44,23 @@ def test_run_forwards_failed_only_to_compose(tmp_path):
     out = runner.run(stages=("compose",), resume=True, failed_only=True)
     assert seen == {"resume": True, "failed_only": True}
     assert out["compose"] == {"ok": True}
+
+
+def test_run_forwards_reference_artifacts_to_generate(tmp_path):
+    """run() must forward reference_artifacts to generate so the tolerant
+    migration reader (stages/migrate.py) is reachable from the DAG entry
+    and the CLI pipeline subcommand, not only `generate`."""
+    cfg = PipelineConfig(datasets=("X",), shots=(1,),
+                         datasets_dir=str(tmp_path),
+                         output_dir=str(tmp_path / "out"))
+    runner = build_tiny_runner(cfg)
+    seen = {}
+
+    def fake_generate(resume=False, reference_artifacts=False):
+        seen.update(resume=resume, reference_artifacts=reference_artifacts)
+        return {"ok": True}
+
+    runner.run_generate = fake_generate
+    out = runner.run(stages=("generate",), reference_artifacts=True)
+    assert seen == {"resume": False, "reference_artifacts": True}
+    assert out["generate"] == {"ok": True}
