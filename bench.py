@@ -489,19 +489,29 @@ def bench_hires_fill(holder, cfg) -> dict:
                           guidance=jnp.full((1,), 30.0, jnp.float32))
 
     out = {}
+    t_step = None
     try:
         _ = np.asarray(step(params, lat)[0, 0, :1])
         t0 = time.perf_counter()
         _ = np.asarray(step(params, lat)[0, 0, :1])
         t_step = time.perf_counter() - t0
     except Exception:  # noqa: BLE001 — 12 GB int8 weights + 16k-token
-        # activations exceed one v5e's HBM; free the full model, measure a
-        # reduced-depth bf16 proxy at the same shapes and extrapolate
-        # linearly in depth (the same validated model as the round-1
-        # headline). Multi-chip (TP/SP) is the production deployment for
-        # this regime.
-        del params
+        # activations exceed one v5e's HBM. NB: the fallback must run
+        # OUTSIDE this handler — the live exception's traceback pins the
+        # params through the inner call frames.
+        pass
+    if t_step is None:
+        # free the full model, measure a reduced-depth bf16 proxy at the
+        # same shapes and extrapolate linearly in depth (the same
+        # validated model as the round-1 headline). Multi-chip (TP/SP) is
+        # the production deployment for this regime.
+        import gc
+        params = None
+        del step
+        gc.collect()
+        jax.clear_caches()   # drop the failed executable + its workspace
         proxy_cfg, proxy_params = build_proxy(2, 4)
+
         @jax.jit
         def pstep(params, x):
             return flux.apply(params, x, txt, pooled,
