@@ -65,3 +65,14 @@ def test_quantized_bytes_accounts_int8():
     quant = {"w_q": jnp.zeros((100, 100), jnp.int8),
              "w_s": jnp.zeros((100,), jnp.float32)}
     assert quantized_bytes(quant) < quantized_bytes(dense) / 3
+
+
+def test_bench_exactness_checks_cpu():
+    """The on-TPU exactness gate folded into bench.py must also pass on
+    the CPU backend (interpret-mode Pallas), so CI covers the assertion
+    logic itself."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import run_exactness_checks
+
+    run_exactness_checks()  # raises on any divergence
