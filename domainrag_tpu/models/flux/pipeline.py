@@ -201,6 +201,55 @@ def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
     return jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
 
 
+def _pipeline_stages(bundle: "FluxBundle", n_stages: int):
+    """Prepare (and cache on the bundle) depth-sharded PP stages."""
+    from ...parallel import pipeline_parallel as pp
+    cache = getattr(bundle, "_pp_stages", None)
+    if cache is None:
+        cache = {}
+        bundle._pp_stages = cache
+    if n_stages not in cache:
+        cache[n_stages] = pp.prepare_stages(bundle.flux_params, n_stages)
+    return cache[n_stages]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "axis",
+                     "microbatches", "mesh", "d", "g", "n_stages"))
+def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
+                      prompt_embeds, pooled, sigmas, guidance,
+                      cfg: flux_mod.FluxConfig, vae_cfg: vae_mod.VaeConfig,
+                      grid_h: int, grid_w: int, axis: str,
+                      microbatches: int, mesh=None, d: int = 1,
+                      g: int = 1, n_stages: int = 1):
+    """Denoise with the 57 blocks pipelined over ``mesh[axis]``
+    (parallel/pipeline_parallel.py). ``mesh`` is hashable and keys the
+    jit cache directly; the stacked stage params travel as pytrees."""
+    from ...parallel import pipeline_parallel as pp
+    stages = pp.PipelineStages(doubles=doubles, singles=singles,
+                               per_stage_double=d, per_stage_single=g,
+                               n_stages=n_stages)
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+
+    def body(i, x):
+        sigma = sigmas[i]
+        b = x.shape[0]
+        v = pp.pipelined_apply(
+            flux_params, stages, x, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            mesh=mesh, axis=axis,
+            guidance=jnp.full((b,), guidance, jnp.float32),
+            microbatches=microbatches)
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
+
+    out_tokens = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+    lat = flux_mod.unpack_latents(out_tokens.astype(jnp.float32),
+                                  grid_h, grid_w)
+    return vae_mod.decode(vae_params, lat, vae_cfg)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
@@ -225,14 +274,23 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
              num_steps: int = 50, guidance: float = 2.5,
              seed=0,
              scheduler_overrides: Optional[dict] = None,
-             mesh=None, data_axis: str = "data") -> np.ndarray:
+             mesh=None, data_axis: str = "data",
+             pipe_axis: Optional[str] = None,
+             microbatches: Optional[int] = None) -> np.ndarray:
     """Full text/Redux-to-image run. Returns (B, H, W, 3) uint8 when
     ``prompt_embeds`` is batched (B > 1), else (H, W, 3).
 
     Defaults mirror the background-gen stage (guidance 2.5, 50 steps,
     fixed seed — batch_generate_flux_kshot.py:467-474). Batched priors
     denoise together in one compiled graph (the reference generated the 5
-    retrieval ranks sequentially — do not replicate)."""
+    retrieval ranks sequentially — do not replicate).
+
+    ``pipe_axis``: name of a mesh axis to PIPELINE the transformer depth
+    over (parallel/pipeline_parallel.py) — each device then executes only
+    57/S of the blocks per microbatch; ``microbatches`` defaults to the
+    batch size. Mutually exclusive with data-axis sharding here (PP
+    serves the depth dimension; combine with DP by vmapping sample groups
+    at the stage level)."""
     batched = prompt_embeds.ndim == 3 and prompt_embeds.shape[0] > 1
     b = prompt_embeds.shape[0] if prompt_embeds.ndim == 3 else 1
     seeds = list(seed) if isinstance(seed, (list, tuple)) else [seed] * b
@@ -251,6 +309,23 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
     pooled_c = pooled.astype(bundle.compute_dtype)
 
     n_real = latents.shape[0]
+    if pipe_axis is not None:
+        if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
+            raise ValueError("pipe_axis requires a mesh with that axis")
+        S = mesh.shape[pipe_axis]
+        stages = _pipeline_stages(bundle, S)
+        light = {k: v for k, v in bundle.flux_params.items()
+                 if k not in ("double", "single")}  # blocks live sharded
+        img = _generate_core_pp(
+            light, stages.doubles, stages.singles, bundle.vae_params,
+            latents, embeds, pooled_c, jnp.asarray(schedule.sigmas),
+            jnp.float32(guidance), cfg=bundle.flux_cfg,
+            vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
+            axis=pipe_axis, microbatches=microbatches or n_real,
+            mesh=mesh, d=stages.per_stage_double,
+            g=stages.per_stage_single, n_stages=S)
+        out = to_uint8(np.asarray(img, np.float32))[:n_real]
+        return out if batched else out[0]
     if mesh is not None:
         # data-parallel sample sharding (replaces the reference's
         # process-per-GPU executor, outpainting...py:1605-1715): pad the

@@ -106,3 +106,24 @@ def test_prepare_stages_shapes():
     assert lead == 4 and st.per_stage_double == 1
     lead = jax.tree_util.tree_leaves(st.singles)[0].shape[0]
     assert lead == 4 and st.per_stage_single == 1
+
+
+def test_generate_with_pipe_axis(rng):
+    """PP is reachable from the serving pipeline: generate(pipe_axis=...)
+    matches the unsharded generate."""
+    from jax.sharding import Mesh
+    from domainrag_tpu.models.flux import pipeline as fp
+
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(0))
+    pimgs = np.zeros((4, 2, 28, 28, 3), np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[0.8, 1.0],
+                                pooled_prompt_embeds_scale=[1.0, 1.0])
+    ref = fp.generate(bundle, e, p, height=16, width=16, num_steps=2,
+                      seed=list(range(4)))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    out = fp.generate(bundle, e, p, height=16, width=16, num_steps=2,
+                      seed=list(range(4)), mesh=mesh, pipe_axis="pipe")
+    assert out.shape == ref.shape
+    # uint8 outputs; compile-cache AOT noise can flip a pixel by 1
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
