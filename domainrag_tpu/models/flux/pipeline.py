@@ -436,6 +436,61 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
     return vae_mod.decode(vae_params, lat, vae_cfg)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "axis",
+                     "microbatches", "mesh", "d", "g", "n_stages",
+                     "tiled_vae", "vae_tile", "vae_overlap"))
+def _fill_core_pp(flux_params, doubles, singles, vae_params, image, mask,
+                  noise, prompt_embeds, pooled, sigmas, guidance,
+                  cfg: flux_mod.FluxConfig, vae_cfg: vae_mod.VaeConfig,
+                  grid_h: int, grid_w: int, axis: str, microbatches: int,
+                  mesh=None, d: int = 1, g: int = 1, n_stages: int = 1,
+                  tiled_vae: bool = False, vae_tile: int = 96,
+                  vae_overlap: int = 16):
+    """:func:`_fill_core` with the transformer depth pipelined over
+    ``mesh[axis]`` (parallel/pipeline_parallel.py)."""
+    from ...parallel import pipeline_parallel as pp
+    stages = pp.PipelineStages(doubles=doubles, singles=singles,
+                               per_stage_double=d, per_stage_single=g,
+                               n_stages=n_stages)
+    if tiled_vae:
+        def enc(x):
+            return vae_mod.encode_tiled(vae_params, x, vae_cfg,
+                                        tile=vae_tile, overlap=vae_overlap)
+    else:
+        def enc(x):
+            return vae_mod.encode(vae_params, x, vae_cfg)
+    masked = image * (1.0 - mask[..., None])
+    masked_tokens = flux_mod.pack_latents(enc(masked))
+    mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
+    image_tokens = flux_mod.pack_latents(enc(image))
+    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
+    cond = jnp.concatenate(
+        [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+
+    def body(i, x):
+        sigma = sigmas[i]
+        b = x.shape[0]
+        inp = jnp.concatenate([x, cond], axis=-1)
+        v = pp.pipelined_apply(
+            flux_params, stages, inp, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            mesh=mesh, axis=axis,
+            guidance=jnp.full((b,), guidance, jnp.float32),
+            microbatches=microbatches)
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
+
+    out = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+    lat = flux_mod.unpack_latents(out.astype(jnp.float32), grid_h, grid_w)
+    if tiled_vae:
+        return vae_mod.decode_tiled(vae_params, lat, vae_cfg,
+                                    tile=vae_tile, overlap=vae_overlap)
+    return vae_mod.decode(vae_params, lat, vae_cfg)
+
+
 def fill(bundle: FluxBundle, image: np.ndarray, mask: np.ndarray,
          prompt_embeds: jax.Array, pooled: jax.Array,
          num_steps: int = 50, guidance: float = 30.0,
@@ -457,6 +512,8 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
                strength: float = 0.75,
                seeds: Sequence[int] = (0,),
                mesh=None, data_axis: str = "data",
+               pipe_axis: Optional[str] = None,
+               microbatches: Optional[int] = None,
                hires_threshold_px: int = 2048 * 2048,
                vae_tile: int = 96, vae_overlap: int = 16) -> np.ndarray:
     """Batched Fill over same-shape samples: images (B, H, W, 3) uint8,
@@ -489,6 +546,26 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
     pooled_c = pooled.astype(bundle.compute_dtype)
 
     n_real = b
+    if pipe_axis is not None:
+        # depth-sharded pipeline over mesh[pipe_axis] — the fill
+        # counterpart of generate(pipe_axis=...)
+        if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
+            raise ValueError("pipe_axis requires a mesh with that axis")
+        S = mesh.shape[pipe_axis]
+        stages = _pipeline_stages(bundle, S)
+        light = {k: v for k, v in bundle.flux_params.items()
+                 if k not in ("double", "single")}
+        out = _fill_core_pp(
+            light, stages.doubles, stages.singles, bundle.vae_params,
+            img, m, noise, embeds, pooled_c,
+            jnp.asarray(schedule.sigmas), jnp.float32(guidance),
+            cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+            grid_h=grid_h, grid_w=grid_w, axis=pipe_axis,
+            microbatches=microbatches or n_real, mesh=mesh,
+            d=stages.per_stage_double, g=stages.per_stage_single,
+            n_stages=S, tiled_vae=hires, vae_tile=vae_tile,
+            vae_overlap=vae_overlap)
+        return to_uint8(np.asarray(out, np.float32))[:n_real]
     sp_ctx = contextlib.nullcontext()
     sp_tag = "none"
     if mesh is not None and hires and mesh.shape.get(data_axis, 1) > 1:

@@ -127,3 +127,27 @@ def test_generate_with_pipe_axis(rng):
     assert out.shape == ref.shape
     # uint8 outputs; compile-cache AOT noise can flip a pixel by 1
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_fill_batch_with_pipe_axis(rng):
+    """PP also serves the fill/compose path: fill_batch(pipe_axis=...)
+    matches the unsharded fill."""
+    from jax.sharding import Mesh
+    from domainrag_tpu.models.flux import pipeline as fp
+
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(0), fill=True)
+    images = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    masks = np.full((2, 16, 16), 255, np.uint8)
+    masks[:, 4:8, 4:8] = 0
+    pimgs = np.zeros((2, 1, 28, 28, 3), np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[1.0],
+                                pooled_prompt_embeds_scale=[1.0])
+    ref = fp.fill_batch(bundle, images, masks, e, p, num_steps=2,
+                        seeds=[0, 1], guidance=30.0, strength=0.6)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    out = fp.fill_batch(bundle, images, masks, e, p, num_steps=2,
+                        seeds=[0, 1], guidance=30.0, strength=0.6,
+                        mesh=mesh, pipe_axis="pipe")
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
