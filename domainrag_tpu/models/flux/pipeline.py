@@ -202,15 +202,20 @@ def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
 
 
 def _pipeline_stages(bundle: "FluxBundle", n_stages: int):
-    """Prepare (and cache on the bundle) depth-sharded PP stages."""
+    """Prepare (and cache on the bundle) depth-sharded PP stages. Keyed
+    by the params object identity so swapping ``bundle.flux_params``
+    (e.g. quantizing after a first serve) invalidates the cache."""
     from ...parallel import pipeline_parallel as pp
     cache = getattr(bundle, "_pp_stages", None)
+    key = (id(bundle.flux_params), n_stages)
     if cache is None:
         cache = {}
         bundle._pp_stages = cache
-    if n_stages not in cache:
-        cache[n_stages] = pp.prepare_stages(bundle.flux_params, n_stages)
-    return cache[n_stages]
+    if key not in cache:
+        for k in [k for k in cache if k[0] != key[0]]:
+            del cache[k]       # old params' stacks would pin device mem
+        cache[key] = pp.prepare_stages(bundle.flux_params, n_stages)
+    return cache[key]
 
 
 @functools.partial(
