@@ -44,7 +44,10 @@ def linear_init(key, d_in, d_out, bias=True, std=None) -> Params:
 # Serving mode (models.quant): when enabled, quantized linears also
 # quantize activations per token to int8 and run the dot as int8×int8 on
 # the MXU — 2× peak over bf16 on v5e (394 TOPS vs 197 TFLOPS). Read at
-# trace time; toggle BEFORE jit-compiling the serving graph.
+# trace time; toggle BEFORE jit-compiling the serving graph. This is a
+# PROCESS-WIDE mode: toggling drops every compiled executable in the
+# process (jax.clear_caches — minutes of recompiles through a remote-
+# compile tunnel), so flip it once at process start, not per call.
 _INT8_ACTIVATIONS = False
 
 

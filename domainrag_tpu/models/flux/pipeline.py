@@ -184,8 +184,21 @@ def _tp_tag(bundle: FluxBundle) -> str:
     return f"{bundle.tp_axis}:{bundle.tp_mesh.shape[bundle.tp_axis]}"
 
 
-def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
-                      sigmas, guidance, img_ids, txt_ids, cfg):
+# --- shared pieces of the four jitted cores (dense/PP x generate/fill):
+# one definition of the velocity model call, the euler loop, and the
+# token decode so the PP path cannot drift from the unsharded one ---
+
+def _euler_denoise(model_fn, latents, sigmas):
+    def body(i, x):
+        sigma = sigmas[i]
+        return sched_mod.euler_step(x, model_fn(x, sigma), sigma,
+                                    sigmas[i + 1])
+
+    return jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+
+
+def _dense_model_fn(flux_params, prompt_embeds, pooled, guidance,
+                    img_ids, txt_ids, cfg):
     def model_fn(x, sigma):
         b = x.shape[0]
         return flux_mod.apply(
@@ -193,29 +206,84 @@ def _denoise_jit_core(flux_params, latents, prompt_embeds, pooled,
             jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
             guidance=jnp.full((b,), guidance, jnp.float32))
 
-    def body(i, x):
-        sigma = sigmas[i]
-        v = model_fn(x, sigma)
-        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
-
-    return jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
+    return model_fn
 
 
-def _pipeline_stages(bundle: "FluxBundle", n_stages: int):
-    """Prepare (and cache on the bundle) depth-sharded PP stages. Keyed
-    by the params object identity so swapping ``bundle.flux_params``
-    (e.g. quantizing after a first serve) invalidates the cache."""
+def _pp_model_fn(flux_params, stages, prompt_embeds, pooled, guidance,
+                 img_ids, txt_ids, cfg, mesh, axis, microbatches):
+    from ...parallel import pipeline_parallel as pp
+
+    def model_fn(x, sigma):
+        b = x.shape[0]
+        return pp.pipelined_apply(
+            flux_params, stages, x, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            mesh=mesh, axis=axis,
+            guidance=jnp.full((b,), guidance, jnp.float32),
+            microbatches=microbatches)
+
+    return model_fn
+
+
+def _decode_tokens(vae_params, tokens, grid_h, grid_w, vae_cfg,
+                   tiled_vae: bool = False, vae_tile: int = 96,
+                   vae_overlap: int = 16):
+    lat = flux_mod.unpack_latents(tokens.astype(jnp.float32),
+                                  grid_h, grid_w)
+    if tiled_vae:
+        return vae_mod.decode_tiled(vae_params, lat, vae_cfg,
+                                    tile=vae_tile, overlap=vae_overlap)
+    return vae_mod.decode(vae_params, lat, vae_cfg)
+
+
+def _fill_conditioning(vae_params, image, mask, noise, sigmas, vae_cfg,
+                       tiled_vae: bool, vae_tile: int, vae_overlap: int):
+    """Fill conditioning shared by the dense and PP fill cores:
+    -> (initial latents at sigma_0, 320-ch cond tokens)."""
+    if tiled_vae:
+        def enc(x):
+            return vae_mod.encode_tiled(vae_params, x, vae_cfg,
+                                        tile=vae_tile, overlap=vae_overlap)
+    else:
+        def enc(x):
+            return vae_mod.encode(vae_params, x, vae_cfg)
+    masked = image * (1.0 - mask[..., None])
+    masked_tokens = flux_mod.pack_latents(enc(masked))
+    mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
+    image_tokens = flux_mod.pack_latents(enc(image))
+    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
+    cond = jnp.concatenate(
+        [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
+    return latents, cond
+
+
+def _pipeline_stages(bundle: "FluxBundle", n_stages: int, mesh=None,
+                     axis: str = "pipe"):
+    """Prepare (and cache on the bundle) depth-sharded PP stages.
+
+    Cache entries hold weakrefs to EVERY leaf array of the params they
+    were built from (dicts are not weakref-able; jax arrays are):
+    swapping ``bundle.flux_params`` — e.g. quantizing after a first serve
+    — invalidates the entry. A single-leaf or ``id()`` anchor is not
+    enough: ``quantize_tree`` reuses bias arrays verbatim, so the first
+    flattened leaf can be the SAME object across the swap (measured —
+    this served stale unquantized stages)."""
+    import weakref
     from ...parallel import pipeline_parallel as pp
     cache = getattr(bundle, "_pp_stages", None)
-    key = (id(bundle.flux_params), n_stages)
     if cache is None:
         cache = {}
         bundle._pp_stages = cache
-    if key not in cache:
-        for k in [k for k in cache if k[0] != key[0]]:
-            del cache[k]       # old params' stacks would pin device mem
-        cache[key] = pp.prepare_stages(bundle.flux_params, n_stages)
-    return cache[key]
+    leaves = jax.tree_util.tree_leaves(bundle.flux_params)
+    entry = cache.get(n_stages)
+    if entry is not None and len(entry[0]) == len(leaves) and \
+            all(r() is l for r, l in zip(entry[0], leaves)):
+        return entry[1]
+    cache.clear()              # old params' stacks would pin device mem
+    stages = pp.prepare_stages(bundle.flux_params, n_stages, mesh=mesh,
+                               axis=axis)
+    cache[n_stages] = ([weakref.ref(l) for l in leaves], stages)
+    return stages
 
 
 @functools.partial(
@@ -237,22 +305,11 @@ def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
                                n_stages=n_stages)
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
-
-    def body(i, x):
-        sigma = sigmas[i]
-        b = x.shape[0]
-        v = pp.pipelined_apply(
-            flux_params, stages, x, prompt_embeds, pooled,
-            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
-            mesh=mesh, axis=axis,
-            guidance=jnp.full((b,), guidance, jnp.float32),
-            microbatches=microbatches)
-        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
-
-    out_tokens = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
-    lat = flux_mod.unpack_latents(out_tokens.astype(jnp.float32),
-                                  grid_h, grid_w)
-    return vae_mod.decode(vae_params, lat, vae_cfg)
+    model_fn = _pp_model_fn(flux_params, stages, prompt_embeds, pooled,
+                            guidance, img_ids, txt_ids, cfg, mesh, axis,
+                            microbatches)
+    out_tokens = _euler_denoise(model_fn, latents, sigmas)
+    return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
 
 
 @functools.partial(
@@ -266,12 +323,10 @@ def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
     # graph via the surrounding tp_attention context, invisible to jit
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
-    out_tokens = _denoise_jit_core(flux_params, latents, prompt_embeds,
-                                   pooled, sigmas, guidance, img_ids,
-                                   txt_ids, cfg)
-    lat = flux_mod.unpack_latents(out_tokens.astype(jnp.float32),
-                                  grid_h, grid_w)
-    return vae_mod.decode(vae_params, lat, vae_cfg)
+    model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                               guidance, img_ids, txt_ids, cfg)
+    out_tokens = _euler_denoise(model_fn, latents, sigmas)
+    return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
 
 
 def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
@@ -318,7 +373,8 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
             raise ValueError("pipe_axis requires a mesh with that axis")
         S = mesh.shape[pipe_axis]
-        stages = _pipeline_stages(bundle, S)
+        stages = _pipeline_stages(bundle, S, mesh=mesh,
+                                   axis=pipe_axis)
         light = {k: v for k, v in bundle.flux_params.items()
                  if k not in ("double", "single")}  # blocks live sharded
         img = _generate_core_pp(
@@ -399,46 +455,20 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
     ``tiled_vae`` bounds VAE activation memory for the >=2048 px fill
     configs (the regime the reference capped at 2800 px to dodge CUDA OOM,
     outpainting_updown_sampling_redux.py:104-108)."""
-    if tiled_vae:
-        def enc(x):
-            return vae_mod.encode_tiled(vae_params, x, vae_cfg,
-                                        tile=vae_tile, overlap=vae_overlap)
-    else:
-        def enc(x):
-            return vae_mod.encode(vae_params, x, vae_cfg)
-    masked = image * (1.0 - mask[..., None])
-    masked_tokens = flux_mod.pack_latents(enc(masked))
-    mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
-
-    image_tokens = flux_mod.pack_latents(enc(image))
-
-    # strength partial denoise: start from noised image latents at sigma_0
-    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
-
-    cond = jnp.concatenate(
-        [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
+    # strength partial denoise: latents start from noised image latents
+    # at sigma_0 (_fill_conditioning)
+    latents, cond = _fill_conditioning(vae_params, image, mask, noise,
+                                       sigmas, vae_cfg, tiled_vae,
+                                       vae_tile, vae_overlap)
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
-
-    def model_fn(x, sigma):
-        b = x.shape[0]
-        inp = jnp.concatenate([x, cond], axis=-1)
-        return flux_mod.apply(
-            flux_params, inp, prompt_embeds, pooled,
-            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
-            guidance=jnp.full((b,), guidance, jnp.float32))
-
-    def body(i, x):
-        sigma = sigmas[i]
-        v = model_fn(x, sigma)
-        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
-
-    out = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
-    lat = flux_mod.unpack_latents(out.astype(jnp.float32), grid_h, grid_w)
-    if tiled_vae:
-        return vae_mod.decode_tiled(vae_params, lat, vae_cfg,
-                                    tile=vae_tile, overlap=vae_overlap)
-    return vae_mod.decode(vae_params, lat, vae_cfg)
+    base_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                              guidance, img_ids, txt_ids, cfg)
+    model_fn = lambda x, sigma: base_fn(  # noqa: E731
+        jnp.concatenate([x, cond], axis=-1), sigma)
+    out = _euler_denoise(model_fn, latents, sigmas)
+    return _decode_tokens(vae_params, out, grid_h, grid_w, vae_cfg,
+                          tiled_vae, vae_tile, vae_overlap)
 
 
 @functools.partial(
@@ -459,41 +489,19 @@ def _fill_core_pp(flux_params, doubles, singles, vae_params, image, mask,
     stages = pp.PipelineStages(doubles=doubles, singles=singles,
                                per_stage_double=d, per_stage_single=g,
                                n_stages=n_stages)
-    if tiled_vae:
-        def enc(x):
-            return vae_mod.encode_tiled(vae_params, x, vae_cfg,
-                                        tile=vae_tile, overlap=vae_overlap)
-    else:
-        def enc(x):
-            return vae_mod.encode(vae_params, x, vae_cfg)
-    masked = image * (1.0 - mask[..., None])
-    masked_tokens = flux_mod.pack_latents(enc(masked))
-    mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
-    image_tokens = flux_mod.pack_latents(enc(image))
-    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
-    cond = jnp.concatenate(
-        [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
+    latents, cond = _fill_conditioning(vae_params, image, mask, noise,
+                                       sigmas, vae_cfg, tiled_vae,
+                                       vae_tile, vae_overlap)
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
-
-    def body(i, x):
-        sigma = sigmas[i]
-        b = x.shape[0]
-        inp = jnp.concatenate([x, cond], axis=-1)
-        v = pp.pipelined_apply(
-            flux_params, stages, inp, prompt_embeds, pooled,
-            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
-            mesh=mesh, axis=axis,
-            guidance=jnp.full((b,), guidance, jnp.float32),
-            microbatches=microbatches)
-        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1])
-
-    out = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
-    lat = flux_mod.unpack_latents(out.astype(jnp.float32), grid_h, grid_w)
-    if tiled_vae:
-        return vae_mod.decode_tiled(vae_params, lat, vae_cfg,
-                                    tile=vae_tile, overlap=vae_overlap)
-    return vae_mod.decode(vae_params, lat, vae_cfg)
+    base_fn = _pp_model_fn(flux_params, stages, prompt_embeds, pooled,
+                           guidance, img_ids, txt_ids, cfg, mesh, axis,
+                           microbatches)
+    model_fn = lambda x, sigma: base_fn(  # noqa: E731
+        jnp.concatenate([x, cond], axis=-1), sigma)
+    out = _euler_denoise(model_fn, latents, sigmas)
+    return _decode_tokens(vae_params, out, grid_h, grid_w, vae_cfg,
+                          tiled_vae, vae_tile, vae_overlap)
 
 
 def fill(bundle: FluxBundle, image: np.ndarray, mask: np.ndarray,
@@ -557,7 +565,8 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
         if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
             raise ValueError("pipe_axis requires a mesh with that axis")
         S = mesh.shape[pipe_axis]
-        stages = _pipeline_stages(bundle, S)
+        stages = _pipeline_stages(bundle, S, mesh=mesh,
+                                   axis=pipe_axis)
         light = {k: v for k, v in bundle.flux_params.items()
                  if k not in ("double", "single")}
         out = _fill_core_pp(

@@ -69,17 +69,30 @@ class PipelineStages:
     n_stages: int
 
 
-def prepare_stages(params, n_stages: int) -> PipelineStages:
+def prepare_stages(params, n_stages: int, mesh: Optional[Mesh] = None,
+                   axis: str = "pipe") -> PipelineStages:
     """Pad both block lists to a multiple of ``n_stages`` with exact
-    identity (all-zero) blocks and stack them for P('pipe') sharding."""
+    identity (all-zero) blocks and stack them for P('pipe') sharding.
+
+    Pass ``mesh`` to place each stacked leaf SHARDED over the pipe axis
+    at creation time — without it the full stack materializes on the
+    default device first, which defeats the depth-sharding memory goal
+    at real model scale (12B bf16 blocks ≈ 24 GB > one chip's HBM)."""
     doubles = list(params["double"])
     singles = list(params["single"])
     d = -(-len(doubles) // n_stages)
     g = -(-len(singles) // n_stages)
     doubles += [_zero_block_like(doubles[0])] * (n_stages * d - len(doubles))
     singles += [_zero_block_like(singles[0])] * (n_stages * g - len(singles))
-    return PipelineStages(doubles=_stack_blocks(doubles),
-                          singles=_stack_blocks(singles),
+    stacked_d = _stack_blocks(doubles)
+    stacked_s = _stack_blocks(singles)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        shard = NamedSharding(mesh, P(axis))
+        place = lambda l: jax.device_put(l, shard)  # noqa: E731
+        stacked_d = jax.tree_util.tree_map(place, stacked_d)
+        stacked_s = jax.tree_util.tree_map(place, stacked_s)
+    return PipelineStages(doubles=stacked_d, singles=stacked_s,
                           per_stage_double=d, per_stage_single=g,
                           n_stages=n_stages)
 
@@ -165,6 +178,11 @@ def pipelined_apply(params, stages: PipelineStages,
         a1 = jnp.zeros((mb, seq, h), dtype)          # singles-loop slot
         v0 = jnp.zeros((mb, h), dtype)
         v1 = jnp.zeros((mb, h), dtype)
+        # NB: every stage carries the full (M, mb, seq, h) collection
+        # buffer though only stage 0's is meaningful — (S-1)/S of this
+        # allocation is waste (~28 MB per 1024 px microbatch). Accepted
+        # for schedule simplicity; a final ppermute-to-stage-0 collect
+        # would eliminate it if activation memory ever becomes the bound.
         out = jnp.zeros((m_count, mb, seq, h), dtype)
 
         def step(t, carry):

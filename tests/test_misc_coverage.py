@@ -71,8 +71,10 @@ def test_bench_exactness_checks_cpu():
     """The on-TPU exactness gate folded into bench.py must also pass on
     the CPU backend (interpret-mode Pallas), so CI covers the assertion
     logic itself."""
+    import os
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from bench import run_exactness_checks
 
     run_exactness_checks()  # raises on any divergence

@@ -151,3 +151,31 @@ def test_fill_batch_with_pipe_axis(rng):
                         mesh=mesh, pipe_axis="pipe")
     assert out.shape == ref.shape
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_pp_stage_cache_invalidates_on_quantize(rng):
+    """Quantize-after-serve must rebuild the PP stages: quantize_tree
+    reuses bias arrays verbatim, so a single-leaf identity anchor matched
+    across the swap and served stale unquantized stages (measured)."""
+    from jax.sharding import Mesh
+    from domainrag_tpu.models import quant
+    from domainrag_tpu.models.flux import pipeline as fp
+
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(3), fill=True)
+    images = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    masks = np.full((2, 16, 16), 255, np.uint8)
+    masks[:, 5:9, 5:9] = 0
+    pimgs = np.zeros((2, 1, 28, 28, 3), np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[1.0],
+                                pooled_prompt_embeds_scale=[1.0])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    kw = dict(num_steps=2, seeds=[7, 8], guidance=30.0, strength=0.7)
+    fp.fill_batch(bundle, images, masks, e, p, mesh=mesh,
+                  pipe_axis="pipe", **kw)        # populate the cache
+    bundle.flux_params = quant.quantize_tree(bundle.flux_params,
+                                             min_size=256)
+    ref_q = fp.fill_batch(bundle, images, masks, e, p, **kw)
+    out_q = fp.fill_batch(bundle, images, masks, e, p, mesh=mesh,
+                          pipe_axis="pipe", **kw)
+    assert np.abs(out_q.astype(int) - ref_q.astype(int)).max() <= 1
