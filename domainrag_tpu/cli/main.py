@@ -62,6 +62,7 @@ def _build_cfg(args) -> PipelineConfig:
         resolution=ResolutionPolicy(max_dimension=args.max_dimension),
         num_steps=args.steps,
         dataset_params=dataset_params)
+    from ..core.config import MeshConfig
     return PipelineConfig(
         datasets=tuple(args.datasets),
         shots=tuple(args.shots),
@@ -72,6 +73,9 @@ def _build_cfg(args) -> PipelineConfig:
         num_workers=args.num_workers,
         generate=GenerateConfig(sampling=sampling, redux=ReduxConfig()),
         compose=compose,
+        mesh=MeshConfig(
+            model_parallel_size=getattr(args, "model_parallel", 1),
+            pipeline_parallel_size=getattr(args, "pipeline_parallel", 1)),
     )
 
 
@@ -146,6 +150,14 @@ def _add_common(p: argparse.ArgumentParser):
                         "(NWPU: 3/5/10/20, Camouflage: 1/2/3/5, else 1/5/10)")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="TP degree for the Flux MMDiT (devices must be "
+                        "divisible)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="PP stages for generate serving: each device "
+                        "holds 57/S transformer blocks "
+                        "(parallel/pipeline_parallel.py); >1 replaces "
+                        "DP in the generate stage")
     p.add_argument("--worker_id", type=int, default=0,
                    help="multi-host sharding: this worker's index")
     p.add_argument("--num_workers", type=int, default=1,

@@ -198,11 +198,14 @@ class ComposeConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout. data = sample-parallel, model = tensor-parallel."""
+    """Device mesh layout. data = sample-parallel, model = tensor-parallel,
+    pipe = depth-sharded pipeline serving (parallel/pipeline_parallel)."""
 
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel_size: int = 1     # TP degree for the Flux MMDiT
+    pipe_axis: str = "pipe"
+    pipeline_parallel_size: int = 1  # PP stages; >1 replaces DP in generate
 
 
 @dataclass(frozen=True)

@@ -79,6 +79,21 @@ class PipelineRunner:
                 model_parallel=self.cfg.mesh.model_parallel_size)
         return None
 
+    def _pipe_mesh(self):
+        """Pipe mesh for depth-sharded PP serving when configured
+        (mesh.pipeline_parallel_size > 1), else None."""
+        pp = self.cfg.mesh.pipeline_parallel_size
+        if pp > 1:
+            import numpy as np
+            from jax.sharding import Mesh
+            devices = jax.devices()
+            if len(devices) < pp:
+                raise ValueError(f"pipeline_parallel_size={pp} needs {pp} "
+                                 f"devices, found {len(devices)}")
+            return Mesh(np.array(devices[:pp]),
+                        (self.cfg.mesh.pipe_axis,))
+        return None
+
     def _build_bank(self, mesh=None) -> retrieve_stage.EmbeddingBank:
         feats, paths = {}, {}
         for source, spec in self.pretrained_features.items():
@@ -118,8 +133,10 @@ class PipelineRunner:
             src: os.path.commonpath(paths) if len(paths) > 1
             else os.path.dirname(paths[0])
             for src, paths in self.corpus_sources.items() if paths}
-        # data-parallel sample batching when several devices are visible
-        mesh = self._data_mesh()
+        # PP (depth-sharded serving) when configured, else DP sample
+        # batching when several devices are visible
+        pipe_mesh = self._pipe_mesh()
+        mesh = None if pipe_mesh is not None else self._data_mesh()
         out = {}
         with self.timer.span("stage/generate"):
             for dataset in self.cfg.datasets:
@@ -130,7 +147,8 @@ class PipelineRunner:
                         corpus_paths=corpus_paths, resume=resume,
                         worker_id=self.cfg.worker_id,
                         num_workers=self.cfg.num_workers,
-                        mesh=mesh,
+                        mesh=mesh, pipe_mesh=pipe_mesh,
+                        pipe_axis=self.cfg.mesh.pipe_axis,
                         reference_artifacts=reference_artifacts,
                         corpus_roots=corpus_roots)
         return out

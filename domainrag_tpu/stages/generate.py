@@ -104,9 +104,12 @@ class GenerateStage:
 
     def generate_sample(self, sample_id: str, target_path: str,
                         refs: List[dict], sample_dir: str,
-                        timer: Optional[StepTimer] = None) -> List[str]:
+                        timer: Optional[StepTimer] = None,
+                        pipe_mesh=None, pipe_axis: str = "pipe"
+                        ) -> List[str]:
         """All ranks of one sample in one batched denoise. Returns the
-        written image paths."""
+        written image paths. With ``pipe_mesh``, the transformer depth is
+        pipelined over its ``pipe_axis`` (parallel/pipeline_parallel)."""
         timer = timer or StepTimer()
         s = self.cfg.sampling
         os.makedirs(sample_dir, exist_ok=True)
@@ -127,7 +130,9 @@ class GenerateStage:
                 seed=[s.seed] * len(refs),
                 scheduler_overrides={
                     "use_dynamic_shifting": s.use_dynamic_shifting,
-                    "base_shift": s.base_shift, "max_shift": s.max_shift})
+                    "base_shift": s.base_shift, "max_shift": s.max_shift},
+                mesh=pipe_mesh,
+                pipe_axis=pipe_axis if pipe_mesh is not None else None)
         if images.ndim == 3:
             images = images[None]
 
@@ -259,6 +264,8 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                     num_workers: int = 1,
                     mesh=None,
                     dp_samples: int = 0,
+                    pipe_mesh=None,
+                    pipe_axis: str = "pipe",
                     reference_artifacts: bool = False,
                     corpus_roots: Optional[Dict[str, str]] = None
                     ) -> Dict[str, int]:
@@ -266,7 +273,10 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
 
     With ``mesh``, samples are processed in data-parallel groups of
     ``dp_samples`` (default: enough samples to fill the data axis with
-    (sample, rank) rows) through :func:`generate_samples_dp`.
+    (sample, rank) rows) through :func:`generate_samples_dp`. With
+    ``pipe_mesh`` (mutually exclusive with ``mesh``), each sample's
+    batched-rank denoise pipelines the transformer depth over the pipe
+    axis instead.
 
     ``reference_artifacts``: read the retrieval JSON through the tolerant
     migration reader (stages.migrate) — accepts reference-produced key
@@ -355,7 +365,8 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                 item = group[0]
                 paths_by_sample = {item["sample_id"]: stage.generate_sample(
                     item["sample_id"], item["target_path"], item["refs"],
-                    item["sample_dir"])}
+                    item["sample_dir"], pipe_mesh=pipe_mesh,
+                    pipe_axis=pipe_axis)}
             elapsed = (time.perf_counter() - start) / max(len(group), 1)
             for item in group:
                 paths = paths_by_sample.get(item["sample_id"], [])

@@ -199,3 +199,35 @@ def test_compose_fallback_without_annotations(runner, toy_env):
     # center 30% default bbox
     x, y, w, h = rec["bbox_coords_list"][0]
     assert w > 0 and h > 0
+
+
+def test_generate_stage_with_pipeline_parallel(toy_env):
+    """PP is reachable from the orchestrator/CLI config: a runner with
+    mesh.pipeline_parallel_size=4 runs the generate stage with the
+    transformer depth pipelined over a 4-stage pipe mesh."""
+    from domainrag_tpu.core.config import MeshConfig
+
+    root, corpus_paths = toy_env
+    cfg = PipelineConfig(
+        datasets=("NEU-DET",), shots=(1,),
+        datasets_dir=str(root / "datasets"),
+        output_dir=str(root / "output_pp"),
+        process_id="pp",
+        generate=GenerateConfig(
+            sampling=FluxSamplingConfig(num_steps=2, height=32, width=32,
+                                        seed=0),
+            redux=ReduxConfig(), top_ranks=2),
+        compose=ComposeConfig(
+            resolution=ResolutionPolicy(min_dimension=32, max_dimension=64),
+            dataset_params={"NEU-DET": DatasetParams(
+                strength=0.5, guidance_scale=4.0, upscale_dimension=32)}),
+        mesh=MeshConfig(pipeline_parallel_size=4),
+    )
+    r = build_tiny_runner(cfg, {"coco": corpus_paths})
+    assert r._pipe_mesh() is not None
+    out = r.run(stages=("inpaint", "retrieve", "generate"))
+    assert "generate" in out
+    ranks = glob.glob(os.path.join(
+        str(root / "output_pp"),
+        "result/NEU-DET_1shot_retrieval/results_*/*/generated_image_rank*.png"))
+    assert ranks, "PP generate produced no rank images"
