@@ -154,10 +154,12 @@ class PipelineRunner:
         return out
 
     def run_compose(self, resume: bool = False, failed_only: bool = False):
+        pipe_mesh = self._pipe_mesh()
         stage = compose_stage.ComposeStage(
             self.fill_bundle, self.cfg.compose,
             process_id=self.cfg.process_id,
-            mesh=self._data_mesh())
+            mesh=None if pipe_mesh is not None else self._data_mesh(),
+            pipe_mesh=pipe_mesh, pipe_axis=self.cfg.mesh.pipe_axis)
         out = {}
         with self.timer.span("stage/compose"):
             for dataset in self.cfg.datasets:

@@ -116,6 +116,8 @@ class ComposeStage:
     process_id: str = "0"
     seed: Optional[int] = None   # None -> random per image (ref :1230)
     mesh: Optional[object] = None  # hires: ring attention over its data axis
+    pipe_mesh: Optional[object] = None  # PP: depth-sharded fill serving
+    pipe_axis: str = "pipe"
 
     def dataset_params(self, dataset: str) -> DatasetParams:
         for key, value in self.cfg.dataset_params.items():
@@ -214,7 +216,10 @@ class ComposeStage:
                 num_steps=self.cfg.num_steps,
                 guidance=params.guidance_scale,
                 strength=params.strength, seeds=seeds,
-                mesh=self.mesh,
+                mesh=self.pipe_mesh if self.pipe_mesh is not None
+                else self.mesh,
+                pipe_axis=self.pipe_axis if self.pipe_mesh is not None
+                else None,
                 hires_threshold_px=self.cfg.hires_threshold_px)
             if pad_h or pad_w:
                 results = results[:, :aligned_h, :aligned_w]

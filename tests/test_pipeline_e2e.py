@@ -225,9 +225,13 @@ def test_generate_stage_with_pipeline_parallel(toy_env):
     )
     r = build_tiny_runner(cfg, {"coco": corpus_paths})
     assert r._pipe_mesh() is not None
-    out = r.run(stages=("inpaint", "retrieve", "generate"))
-    assert "generate" in out
+    out = r.run()                      # full DAG, generate+compose on PP
+    assert "generate" in out and "compose" in out
     ranks = glob.glob(os.path.join(
         str(root / "output_pp"),
         "result/NEU-DET_1shot_retrieval/results_*/*/generated_image_rank*.png"))
     assert ranks, "PP generate produced no rank images"
+    finals = glob.glob(os.path.join(
+        str(root / "output_pp"), "outpaint_hires", "process_pp",
+        "**", "*final_result*.png"), recursive=True)
+    assert finals, "PP compose produced no final results"
