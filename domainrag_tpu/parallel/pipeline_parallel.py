@@ -37,7 +37,6 @@ Embedders and the final modulation/projection run outside the shard_map
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax

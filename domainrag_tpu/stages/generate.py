@@ -22,7 +22,6 @@ synthetic similarities 1.0 - 0.1*i), seeded for determinism.
 from __future__ import annotations
 
 import glob
-import json
 import os
 import random
 import shutil
