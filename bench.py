@@ -289,6 +289,42 @@ def main() -> None:
         _ = np.asarray(out[0, 0, :1])     # forces completion
     elapsed = (time.perf_counter() - t0) / reps
 
+    # BENCH_BLOCKCACHE=1: block-residual caching (refresh every other
+    # step — models/flux/model.apply_with_cache; arXiv:2312.03209
+    # family). EXPERIMENTAL: changes outputs; labeled separately, never
+    # the headline. Measured with the same resident params.
+    blockcache_ipm = None
+    if os.environ.get("BENCH_BLOCKCACHE", "0") == "1" and quantized:
+        try:
+            cache0 = flux.init_block_cache(cfg, batch, seq, s_txt)
+
+            @jax.jit
+            def denoise_bc(params, latents, cache):
+                def body(i, carry):
+                    x, cache = carry
+                    sigma = sigmas[i]
+                    v, cache = flux.apply_with_cache(
+                        params, x, txt, pooled,
+                        jnp.full((batch,), sigma, jnp.float32),
+                        img_ids, txt_ids, cfg, cache,
+                        refresh=(i % 2 == 0),
+                        guidance=jnp.full((batch,), 2.5, jnp.float32))
+                    return sched.euler_step(x, v, sigma,
+                                            sigmas[i + 1]), cache
+                out, _ = jax.lax.fori_loop(0, NUM_STEPS, body,
+                                           (latents, cache))
+                return out
+
+            _ = np.asarray(denoise_bc(params, latents, cache0)[0, 0, :1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = np.asarray(denoise_bc(params, latents,
+                                          cache0)[0, 0, :1])
+            blockcache_ipm = batch * 60.0 * reps / (time.perf_counter()
+                                                    - t0)
+        except Exception as e:  # noqa: BLE001 — cache adds ~1.6 GB HBM
+            blockcache_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
+
     if quantized:
         images_per_min = batch * 60.0 / elapsed
         tag = "12B-int8w8a8-measured" if w8a8 else "12B-int8-weights-measured"
@@ -336,6 +372,10 @@ def main() -> None:
         result["mfu_vs_bf16_peak"] = round(mfu_bf16, 4)
         if w8a8:
             result["mfu_vs_int8_peak"] = round(mfu_bf16 / 2.0, 4)
+    if blockcache_ipm is not None:
+        result["blockcache_images_per_min_experimental"] = (
+            round(blockcache_ipm, 4) if isinstance(blockcache_ipm, float)
+            else blockcache_ipm)
 
     # optional sections are best-effort: a transient remote-compile/tunnel
     # failure must not lose the headline measurement

@@ -349,6 +349,93 @@ def apply(params: Params, img_tokens: jax.Array, txt_tokens: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# block-residual caching (training-free acceleration, "Cache Me if You
+# Can" arXiv:2312.03209 family): transformer block outputs drift slowly
+# across adjacent denoise steps, so REFRESH steps record every block's
+# residual (out - in) and CACHED steps replay them (embedders/final
+# layers always recompute — they carry the timestep). Roughly halves
+# denoise FLOPs at refresh-every-other-step. EXPERIMENTAL: changes
+# outputs; quality must be validated against real weights before
+# production use (the refresh-every-step schedule is exact).
+# ---------------------------------------------------------------------------
+
+def init_block_cache(cfg: FluxConfig, batch: int, s_img: int, s_txt: int,
+                     dtype=jnp.bfloat16):
+    """Zeroed residual cache pytree (carry it through the denoise loop)."""
+    return {
+        "double": [(jnp.zeros((batch, s_img, cfg.hidden), dtype),
+                    jnp.zeros((batch, s_txt, cfg.hidden), dtype))
+                   for _ in range(cfg.depth_double)],
+        "single": [jnp.zeros((batch, s_txt + s_img, cfg.hidden), dtype)
+                   for _ in range(cfg.depth_single)],
+    }
+
+
+def apply_with_cache(params: Params, img_tokens: jax.Array,
+                     txt_tokens: jax.Array, pooled: jax.Array,
+                     timestep: jax.Array, img_ids: jax.Array,
+                     txt_ids: jax.Array, cfg: FluxConfig, cache,
+                     refresh: jax.Array,
+                     guidance: Optional[jax.Array] = None):
+    """:func:`apply` with block-residual caching.
+
+    ``refresh``: traced bool scalar — True recomputes every block and
+    records residuals; False replays ``cache``. Returns (velocity,
+    new_cache). With ``refresh=True`` every step this is exactly
+    :func:`apply` (pinned by tests)."""
+    dtype = img_tokens.dtype
+    img = linear(params["img_in"], img_tokens)
+    txt = linear(params["txt_in"], txt_tokens.astype(dtype))
+    vec = _mlp_embedder(params["time_in"],
+                        timestep_embedding(timestep, cfg.time_embed_dim)
+                        .astype(dtype))
+    if cfg.guidance_embed:
+        if guidance is None:
+            raise ValueError("flux-dev requires a guidance value")
+        vec = vec + _mlp_embedder(
+            params["guidance_in"],
+            timestep_embedding(guidance, cfg.time_embed_dim).astype(dtype))
+    vec = vec + _mlp_embedder(params["vector_in"], pooled.astype(dtype))
+
+    ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    cos, sin = rope_cos_sin(ids, cfg.axes_dim, cfg.theta)
+    cos, sin = cos[None, None], sin[None, None]
+
+    new_cache = {"double": [], "single": []}
+    for block, (c_img, c_txt) in zip(params["double"], cache["double"]):
+        def full(img, txt, block=block):
+            i2, t2 = _double_block(block, img, txt, vec, cos, sin, cfg)
+            return i2, t2, (i2 - img).astype(c_img.dtype), \
+                (t2 - txt).astype(c_txt.dtype)
+
+        def cached(img, txt, c_img=c_img, c_txt=c_txt):
+            return (img + c_img.astype(img.dtype),
+                    txt + c_txt.astype(txt.dtype), c_img, c_txt)
+
+        img, txt, r_img, r_txt = jax.lax.cond(refresh, full, cached,
+                                              img, txt)
+        new_cache["double"].append((r_img, r_txt))
+
+    x = jnp.concatenate([txt, img], axis=1)
+    for block, c_x in zip(params["single"], cache["single"]):
+        def full_s(x, block=block, c_x=c_x):
+            x2 = _single_block(block, x, vec, cos, sin, cfg)
+            return x2, (x2 - x).astype(c_x.dtype)
+
+        def cached_s(x, c_x=c_x):
+            return x + c_x.astype(x.dtype), c_x
+
+        x, r_x = jax.lax.cond(refresh, full_s, cached_s, x)
+        new_cache["single"].append(r_x)
+    img = x[:, txt.shape[1]:]
+
+    mod = linear(params["final_mod"], jax.nn.silu(vec))
+    shift, scale = jnp.split(mod, 2, axis=-1)
+    img = _modulate(_ln_no_affine(img), shift, scale)
+    return linear(params["final_proj"], img), new_cache
+
+
+# ---------------------------------------------------------------------------
 # latent packing (diffusers _pack_latents layout: channel-major, then 2x2)
 # ---------------------------------------------------------------------------
 

@@ -134,3 +134,40 @@ def test_fill_variant_shapes():
     img, txt, pooled, t, g, iid, tid = make_inputs(cfg, b=1)
     out = flux.apply(params, img, txt, pooled, t, iid, tid, cfg, guidance=g)
     assert out.shape == (1, 16, cfg.out_channels)
+
+
+def test_apply_with_cache_refresh_exact(rng):
+    """refresh=True is exactly apply(); replaying the recorded residuals
+    on the same inputs reproduces the refresh output (the exactness
+    anchor for the block-caching accelerator, arXiv:2312.03209 family)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = flux.TINY_FLUX
+    params = flux.init(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(rng.standard_normal(
+        (2, 16, cfg.in_channels)).astype(np.float32))
+    txt = jnp.asarray(rng.standard_normal(
+        (2, 6, cfg.text_dim)).astype(np.float32))
+    pooled = jnp.asarray(rng.standard_normal(
+        (2, cfg.pooled_dim)).astype(np.float32))
+    t = jnp.full((2,), 0.5)
+    g = jnp.full((2,), 4.0)
+    iid = jnp.asarray(flux.make_image_ids(4, 4))
+    tid = jnp.asarray(flux.make_text_ids(6))
+
+    ref = np.asarray(flux.apply(params, img, txt, pooled, t, iid, tid,
+                                cfg, guidance=g))
+    cache = flux.init_block_cache(cfg, 2, 16, 6, dtype=jnp.float32)
+    out, cache = flux.apply_with_cache(
+        params, img, txt, pooled, t, iid, tid, cfg, cache,
+        refresh=jnp.bool_(True), guidance=g)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    # replay: same inputs, refresh=False -> residual adds retrace the
+    # refresh trajectory exactly
+    out2, _ = flux.apply_with_cache(
+        params, img, txt, pooled, t, iid, tid, cfg, cache,
+        refresh=jnp.bool_(False), guidance=g)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
