@@ -314,6 +314,42 @@ def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
+                     "cache_interval"))
+def _generate_core_cached(flux_params, vae_params, latents, prompt_embeds,
+                          pooled, sigmas, guidance,
+                          cfg: flux_mod.FluxConfig,
+                          vae_cfg: vae_mod.VaeConfig, grid_h: int,
+                          grid_w: int, tp_tag: str = "none",
+                          cache_interval: int = 2):
+    """:func:`_generate_core` with block-residual caching
+    (flux_mod.apply_with_cache): blocks recompute every
+    ``cache_interval`` steps and replay their residuals in between.
+    EXPERIMENTAL — changes outputs (see BENCH_NOTES)."""
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    b, s_img = latents.shape[0], latents.shape[1]
+    cache = flux_mod.init_block_cache(cfg, b, s_img,
+                                      prompt_embeds.shape[1],
+                                      dtype=latents.dtype)
+
+    def body(i, carry):
+        x, cache = carry
+        sigma = sigmas[i]
+        v, cache = flux_mod.apply_with_cache(
+            flux_params, x, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            cache, refresh=(i % cache_interval == 0),
+            guidance=jnp.full((b,), guidance, jnp.float32))
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1]), cache
+
+    out_tokens, _ = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body,
+                                      (latents, cache))
+    return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
 def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
                    sigmas, guidance, cfg: flux_mod.FluxConfig,
@@ -336,9 +372,14 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
              scheduler_overrides: Optional[dict] = None,
              mesh=None, data_axis: str = "data",
              pipe_axis: Optional[str] = None,
-             microbatches: Optional[int] = None) -> np.ndarray:
+             microbatches: Optional[int] = None,
+             block_cache_interval: int = 1) -> np.ndarray:
     """Full text/Redux-to-image run. Returns (B, H, W, 3) uint8 when
     ``prompt_embeds`` is batched (B > 1), else (H, W, 3).
+
+    ``block_cache_interval`` > 1 enables the EXPERIMENTAL block-residual
+    caching accelerator (blocks recompute every N steps, residuals replay
+    in between — ~1.5× at N=2, outputs change; BENCH_NOTES.md). 1 = exact.
 
     Defaults mirror the background-gen stage (guidance 2.5, 50 steps,
     fixed seed — batch_generate_flux_kshot.py:467-474). Batched priors
@@ -406,11 +447,21 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         pooled_c = jax.device_put(pooled_c, shard)
 
     with _tp_context(bundle):
-        img = _generate_core(
-            bundle.flux_params, bundle.vae_params, latents, embeds,
-            pooled_c, jnp.asarray(schedule.sigmas), jnp.float32(guidance),
-            cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
-            grid_h=grid_h, grid_w=grid_w, tp_tag=_tp_tag(bundle))
+        if block_cache_interval > 1:
+            img = _generate_core_cached(
+                bundle.flux_params, bundle.vae_params, latents, embeds,
+                pooled_c, jnp.asarray(schedule.sigmas),
+                jnp.float32(guidance), cfg=bundle.flux_cfg,
+                vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
+                tp_tag=_tp_tag(bundle),
+                cache_interval=block_cache_interval)
+        else:
+            img = _generate_core(
+                bundle.flux_params, bundle.vae_params, latents, embeds,
+                pooled_c, jnp.asarray(schedule.sigmas),
+                jnp.float32(guidance), cfg=bundle.flux_cfg,
+                vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
+                tp_tag=_tp_tag(bundle))
     out = to_uint8(np.asarray(img, np.float32))[:n_real]
     return out if batched else out[0]
 

@@ -106,3 +106,26 @@ def test_strength_trims_work(fill_bundle):
                  guidance=30.0, strength=1.0, seed=0).astype(np.int32)
     img = image.astype(np.int32)
     assert np.abs(lo - img).mean() < np.abs(hi - img).mean()
+
+
+def test_generate_block_cache_interval(rng):
+    """block_cache_interval=2 runs the cached denoise core and stays
+    close to the exact path; interval=1 is the exact path itself."""
+    import jax
+    import numpy as np
+    from domainrag_tpu.models.flux import pipeline as fp
+
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(0))
+    pimgs = np.zeros((2, 2, 28, 28, 3), np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[0.8, 1.0],
+                                pooled_prompt_embeds_scale=[1.0, 1.0])
+    exact = fp.generate(bundle, e, p, height=16, width=16, num_steps=4,
+                        seed=[0, 1])
+    cached = fp.generate(bundle, e, p, height=16, width=16, num_steps=4,
+                         seed=[0, 1], block_cache_interval=2)
+    assert cached.shape == exact.shape
+    corr = np.corrcoef(cached.ravel().astype(float),
+                       exact.ravel().astype(float))[0, 1]
+    assert corr > 0.9          # approximation, not equality
+    assert not np.array_equal(cached, exact)  # and it actually engaged
