@@ -295,6 +295,7 @@ def main() -> None:
     # the headline. Measured with the same resident params.
     blockcache_ipm = None
     if os.environ.get("BENCH_BLOCKCACHE", "0") == "1" and quantized:
+        bc_interval = int(os.environ.get("BENCH_BLOCKCACHE_INTERVAL", "2"))
         try:
             cache0 = flux.init_block_cache(cfg, batch, seq, s_txt)
 
@@ -307,7 +308,7 @@ def main() -> None:
                         params, x, txt, pooled,
                         jnp.full((batch,), sigma, jnp.float32),
                         img_ids, txt_ids, cfg, cache,
-                        refresh=(i % 2 == 0),
+                        refresh=(i % bc_interval == 0),
                         guidance=jnp.full((batch,), 2.5, jnp.float32))
                     return sched.euler_step(x, v, sigma,
                                             sigmas[i + 1]), cache
