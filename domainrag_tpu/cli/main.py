@@ -50,7 +50,8 @@ def _build_cfg(args) -> PipelineConfig:
     sampling = FluxSamplingConfig(
         num_steps=args.steps,
         height=args.size, width=args.size,
-        seed=args.seed)
+        seed=args.seed,
+        block_cache_interval=getattr(args, "block_cache_interval", 1))
     # --custom_upscale DATASET:DIM (ref outpainting...py:1920-1932)
     custom = {}
     for spec in args.custom_upscale or []:
@@ -150,6 +151,11 @@ def _add_common(p: argparse.ArgumentParser):
                         "(NWPU: 3/5/10/20, Camouflage: 1/2/3/5, else 1/5/10)")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--block_cache_interval", type=int, default=1,
+                   help="EXPERIMENTAL: block-residual caching — blocks "
+                        "recompute every N denoise steps, residuals "
+                        "replay in between (~1.5x at 2, outputs change; "
+                        "BENCH_NOTES.md). 1 = exact")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

@@ -154,6 +154,10 @@ class FluxSamplingConfig:
     use_dynamic_shifting: bool = True
     base_shift: float = 0.5
     max_shift: float = 1.15
+    # EXPERIMENTAL block-residual caching: blocks recompute every N steps
+    # and replay residuals in between (~1.5x at 2; outputs change —
+    # BENCH_NOTES.md). 1 = exact.
+    block_cache_interval: int = 1
 
 
 @dataclass(frozen=True)

@@ -413,6 +413,9 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
     if pipe_axis is not None:
         if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
             raise ValueError("pipe_axis requires a mesh with that axis")
+        if block_cache_interval > 1:
+            raise ValueError("block_cache_interval is not implemented on "
+                             "the pipelined (pipe_axis) path")
         S = mesh.shape[pipe_axis]
         stages = _pipeline_stages(bundle, S, mesh=mesh,
                                    axis=pipe_axis)

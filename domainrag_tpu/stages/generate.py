@@ -131,7 +131,8 @@ class GenerateStage:
                     "use_dynamic_shifting": s.use_dynamic_shifting,
                     "base_shift": s.base_shift, "max_shift": s.max_shift},
                 mesh=pipe_mesh,
-                pipe_axis=pipe_axis if pipe_mesh is not None else None)
+                pipe_axis=pipe_axis if pipe_mesh is not None else None,
+                block_cache_interval=getattr(s, "block_cache_interval", 1))
         if images.ndim == 3:
             images = images[None]
 
