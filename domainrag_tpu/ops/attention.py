@@ -21,6 +21,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2_E = 1.4426950408889634
+LN_2 = 0.6931471805599453
 
 
 def attention_reference(q, k, v, causal: bool = False):
@@ -41,7 +43,14 @@ def attention_reference(q, k, v, causal: bool = False):
 def _flash_kernel(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   acc, m_buf, l_buf,
                   *, scale: float, block_kv: int,
-                  causal: bool, block_q: int):
+                  causal: bool, block_q: int, masked: bool):
+    """Online-softmax tile. Base-2 exponentials throughout (exp2 is the
+    native VPU transcendental; log2(e) is folded into ``scale``), converted
+    to a natural-log LSE only at the final write. ``masked=False`` (the
+    production Flux shapes: KV length a multiple of the block, static
+    validity) skips the whole iota/compare/where chain — the softmax is
+    the kernel's VPU bottleneck, and mask arithmetic is a per-element cost
+    on the (bq, bkv) tile."""
     ik = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -58,24 +67,30 @@ def _flash_kernel(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    # mask kv padding (and causal structure if requested); the validity
-    # boundary is a runtime scalar so ring attention can fold blocks whose
-    # valid length depends on the (traced) ring step
-    kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_kv
-    mask = kv_pos < kv_valid_ref[0]
-    if causal:
-        iq = pl.program_id(1)
-        q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
-        mask = mask & (kv_pos <= q_pos)
-    s = jnp.where(mask, s, NEG_INF)
+    if masked:
+        # mask kv padding (and causal structure if requested); the validity
+        # boundary is a runtime scalar so ring attention can fold blocks
+        # whose valid length depends on the (traced) ring step
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + ik * block_kv
+        mask = kv_pos < kv_valid_ref[0]
+        if causal:
+            iq = pl.program_id(1)
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + iq * block_q
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_buf[:]                # (bq, 128) broadcast copies
     m_cur = jnp.max(s, axis=1, keepdims=True)          # (bq, 1)
     m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-    corr = jnp.exp(m_prev - m_new)                     # (bq, 128)
-    p = jnp.exp(s - m_new[:, :1])                      # (bq, bkv) f32
-    # fully-masked rows/blocks: s == m_new == NEG_INF would give exp(0)=1
-    p = jnp.where(mask, p, 0.0)
+    corr = jnp.exp2(m_prev - m_new)                    # (bq, 128)
+    p = jnp.exp2(s - m_new[:, :1])                     # (bq, bkv) f32
+    if masked and causal:
+        # a row whose every position is masked in this tile has
+        # s == m_new == NEG_INF -> exp2(0) = 1; zero it explicitly.
+        # (kv-padding-only masks need no fixup: exp2(NEG_INF - m) == 0.)
+        p = jnp.where(mask, p, 0.0)
     l_new = l_buf[:] * corr + jnp.broadcast_to(
         jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
     acc[:] = acc[:] * corr[:, :1] + jax.lax.dot_general(
@@ -89,7 +104,38 @@ def _flash_kernel(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         # guard l=0 (a row with every position masked) against 0/0
         denom = jnp.maximum(l_buf[:][:, :1], 1e-30)
         o_ref[0] = (acc[:] / denom).astype(o_ref.dtype)
-        lse_ref[0] = m_buf[:] + jnp.log(jnp.maximum(l_buf[:], 1e-30))
+        lse_ref[0] = m_buf[:] * LN_2 + jnp.log(jnp.maximum(l_buf[:], 1e-30))
+
+
+def _flash_kernel_1pass(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        *, scale: float, block_kv: int,
+                        causal: bool, block_q: int, masked: bool):
+    """Whole-KV-in-one-block specialization (the tuned policy at <=4608
+    tokens): plain softmax, no running-max scratch, no correction chain."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if masked:
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = kv_pos < kv_valid_ref[0]
+        if causal:
+            iq = pl.program_id(1)
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                + iq * block_q
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)              # (bq, 1)
+    p = jnp.exp2(s - m)
+    if masked and causal:
+        p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)              # (bq, 1)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse = m * LN_2 + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _round_up(x, m):
@@ -100,9 +146,13 @@ def _tuned_blocks(s_kv: int):
     """Measured block policy (tools/tpu_experiments.py flashblocks, v5e):
     a single KV pass (block_kv = whole padded KV) is 1.7x the old 256/512
     default at the 1024 px Flux shape (4608 tokens: 4.98 vs 8.53 ms/layer)
-    and best at 8448 tokens (10.8 vs 16.4 ms); beyond 4608 the KV tiles at
-    4608 to bound VMEM (scores block 256x4608 f32 = 4.7 MB)."""
-    return 256, min(_round_up(s_kv, 128), 4608)
+    and best at 8448 tokens (10.8 vs 16.4 ms); beyond 4608 the KV is split
+    into the fewest even tiles <=4608 to bound VMEM (scores block
+    256x4608 f32 = 4.7 MB) — an even split, not a fixed 4608 tile, so KV
+    lengths just past a multiple of 4608 don't pad by nearly a whole tile
+    (e.g. 4736 tiles as 2x2368, not 2x4608)."""
+    n_tiles = -(-s_kv // 4608)
+    return 256, _round_up(-(-s_kv // n_tiles), 128)
 
 
 def _plan(q, k, block_q, block_kv):
@@ -129,18 +179,39 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
     masked (defaults to the static kv length)."""
     b, h, s_q, s_kv, d, d_pad, bq, bkv, sq_pad, skv_pad = _plan(
         q, k, block_q, block_kv)
-    scale = 1.0 / math.sqrt(d)
+    # base-2 logits: exp2 is the native VPU transcendental; log2(e) folds
+    # into the QK^T scale for free (the kernels convert the LSE back to
+    # natural units on the final write)
+    scale = LOG2_E / math.sqrt(d)
     qp = _pad_to(q, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
     kp = _pad_to(k, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
     vp = _pad_to(v, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
+    # masking is only needed when the kv extent is not exactly the padded
+    # block span (kv padding), the caller supplies a runtime validity
+    # bound (ring attention), or the structure is causal — otherwise the
+    # whole per-element mask chain is skipped (it is pure VPU overhead on
+    # the production Flux shapes, whose 4608-token KV is block-aligned)
+    masked = causal or (kv_valid is not None) or (skv_pad != s_kv)
     if kv_valid is None:
         kv_valid = s_kv
     kv_valid_arr = jnp.full((1,), kv_valid, jnp.int32)
 
-    grid = (b * h, sq_pad // bq, skv_pad // bkv)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, block_kv=bkv,
-        causal=causal, block_q=bq)
+    n_kv_blocks = skv_pad // bkv
+    grid = (b * h, sq_pad // bq, n_kv_blocks)
+    if n_kv_blocks == 1:
+        kernel = functools.partial(
+            _flash_kernel_1pass, scale=scale, block_kv=bkv,
+            causal=causal, block_q=bq, masked=masked)
+        scratch_shapes = []
+    else:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, block_kv=bkv,
+            causal=causal, block_q=bq, masked=masked)
+        scratch_shapes = [
+            pltpu.VMEM((bq, d_pad), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ]
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -163,11 +234,7 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
             jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
             jax.ShapeDtypeStruct((b * h, sq_pad, 128), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bq, d_pad), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

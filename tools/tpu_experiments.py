@@ -99,6 +99,277 @@ def exp_w8a8():
               f"({fl/t_raw/1e12:.0f}TOP/s)")
 
 
+def _timeit_total(fn, *args, reps=3):
+    """Total seconds per fetch (NOT divided by chain)."""
+    _fetch1(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _fetch1(fn(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def _slope_time(make_chain, c_lo=8, c_hi=32, reps=3):
+    """Per-call seconds via two chain lengths: slope cancels the ~30 ms
+    tunnel dispatch/fetch floor that poisons absolute short timings
+    (everything whose total executable time is under the RTT reads as
+    ~RTT/chain — see BENCH_NOTES methodology caveat, round-3 update)."""
+    t_lo = _timeit_total(make_chain(c_lo), reps=reps)
+    t_hi = _timeit_total(make_chain(c_hi), reps=reps)
+    return (t_hi - t_lo) / (c_hi - c_lo)
+
+
+def exp_gemm2():
+    """Slope-calibrated GEMM timing at the Flux hot shapes: settles the
+    round-2 '61-173 TF/s shape gap' question with overhead-free numbers,
+    and tests the accumulation-dtype hypothesis (bf16 accumulation was the
+    one variant clearly slow ABOVE the RTT floor in the raw sweep)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("qkv      ", 4608, 3072, 9216),
+        ("mlp-up   ", 4608, 3072, 12288),
+        ("mlp-down ", 4608, 12288, 3072),
+        ("proj     ", 4608, 3072, 3072),
+        ("linear1  ", 4608, 3072, 21504),
+        ("linear2  ", 4608, 15360, 3072),
+        ("img-qkv  ", 4096, 3072, 9216),
+        ("txt-qkv  ", 512, 3072, 9216),
+        ("img-mlp1 ", 4096, 3072, 12288),
+        ("img-mlp2 ", 4096, 12288, 3072),
+    ]
+    print("== GEMM slope-calibrated (per-call, overhead-free) ==")
+    for name, m, k, n in shapes:
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.full((n,), 0.01, jnp.bfloat16)
+        fl = 2 * m * k * n
+
+        def mk(dotfn, *extra):
+            def make(chain):
+                @jax.jit
+                def f(x, *e):
+                    acc = None
+                    for i in range(chain):
+                        # i/64 is EXACT in bf16 — a 1e-6 perturbation
+                        # rounds to 1.0 in bf16 and the whole chain
+                        # CSE-collapses to a single dot (the round-2
+                        # microbench bug this experiment replaces)
+                        y = dotfn(x * (1.0 + i * (1.0 / 64.0)), *e)
+                        acc = y if acc is None else acc + y
+                    return acc
+                return lambda: f(x, *extra)
+            return make
+
+        def d_bf16(xi, w):
+            return jnp.dot(xi, w, preferred_element_type=jnp.bfloat16)
+
+        def d_f32(xi, w):
+            return jnp.dot(xi, w, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        def d_int8w_bf16(xi, wq, ws):
+            return jnp.dot(xi, wq.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.bfloat16) * ws
+
+        def d_int8w_f32(xi, wq, ws):
+            return (jnp.dot(xi, wq.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                    .astype(jnp.bfloat16) * ws)
+
+        rows = [("bf16acc", _slope_time(mk(d_bf16, w))),
+                ("f32acc", _slope_time(mk(d_f32, w))),
+                ("i8w-bf16", _slope_time(mk(d_int8w_bf16, wq, ws))),
+                ("i8w-f32", _slope_time(mk(d_int8w_f32, wq, ws)))]
+        msg = " | ".join(f"{lbl} {t*1e3:.2f}ms ({fl/t/1e12:.0f}TF/s)"
+                         for lbl, t in rows)
+        print(f"  {name} ({m}x{k}x{n}): {msg}")
+
+
+def exp_insitu():
+    """In-situ per-block cost via DEPTH slope: time the full proxy forward
+    at two (double, single) depth pairs; the depth difference isolates the
+    true per-double-block and per-single-block cost inside the real
+    compiled graph (no microbench artifacts).  Repeats with attention
+    swapped to identity for the true in-situ attention share."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import attention as attn_mod
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_proxy
+
+    grid, s_txt = 64, 512
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    tt = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+    n_chain = 4
+
+    def time_cfg(nd, ns):
+        cfg, params = build_proxy(nd, ns)
+        img = jnp.asarray(rng.standard_normal(
+            (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+
+        @jax.jit
+        def f(params, x):
+            y = x
+            for _ in range(n_chain):
+                y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                               txt_ids, cfg, guidance=g
+                               ).astype(jnp.bfloat16)[:, :, :cfg.in_channels]
+            return y
+        t = _timeit_total(lambda: f(params, img)) / n_chain
+        del params
+        return t
+
+    results = {}
+    for nd, ns in [(2, 4), (6, 4), (2, 12)]:
+        results[(nd, ns)] = time_cfg(nd, ns)
+        print(f"  proxy {nd}d+{ns}s fwd: {results[(nd, ns)]*1e3:.1f} ms")
+    per_d = (results[(6, 4)] - results[(2, 4)]) / 4
+    per_s = (results[(2, 12)] - results[(2, 4)]) / 8
+    full = 19 * per_d + 38 * per_s
+    print(f"  => per double block {per_d*1e3:.2f} ms | per single "
+          f"{per_s*1e3:.2f} ms | 19d+38s step {full*1e3:.0f} ms")
+
+    ident = lambda q, k, v, **kw: v  # noqa: E731
+    orig = attn_mod.attention
+    attn_mod.attention = ident
+    flux.attention = ident
+    try:
+        r2 = {}
+        for nd, ns in [(2, 4), (6, 4), (2, 12)]:
+            r2[(nd, ns)] = time_cfg(nd, ns)
+        pd2 = (r2[(6, 4)] - r2[(2, 4)]) / 4
+        ps2 = (r2[(2, 12)] - r2[(2, 4)]) / 8
+        print(f"  no-attention: per double {pd2*1e3:.2f} ms | per single "
+              f"{ps2*1e3:.2f} ms")
+        print(f"  => attention share per double {(per_d-pd2)*1e3:.2f} ms, "
+              f"per single {(per_s-ps2)*1e3:.2f} ms "
+              f"(57-layer total {((per_d-pd2)*19+(per_s-ps2)*38)*1e3:.0f} ms)")
+    finally:
+        attn_mod.attention = orig
+        flux.attention = orig
+
+
+def exp_gemm():
+    """Round-3: why do the double-block GEMM shapes run at 61-87 TF/s when
+    the single-block fused linear1 (same M, K; wider N) hits 173?  Sweep
+    layout/accumulation/split variants of the same math at the hot shapes
+    to find a fast formulation (VERDICT r2 item 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_chain = 8
+    rng = np.random.default_rng(0)
+
+    def chain_timer(make_fn, *args):
+        @jax.jit
+        def f(*a):
+            acc = None
+            for i in range(n_chain):
+                y = make_fn(i, *a)
+                acc = y if acc is None else acc + y
+            return acc
+        return _timeit(f, *args, chain=n_chain)
+
+    shapes = [
+        ("qkv      ", 4608, 3072, 9216),
+        ("mlp-up   ", 4608, 3072, 12288),
+        ("mlp-down ", 4608, 12288, 3072),
+        ("proj     ", 4608, 3072, 3072),
+        ("linear1  ", 4608, 3072, 21504),
+        ("img-qkv  ", 4096, 3072, 9216),
+        ("txt-qkv  ", 512, 3072, 9216),
+        ("img-mlp1 ", 4096, 3072, 12288),
+        ("txt-mlp1 ", 512, 3072, 12288),
+    ]
+    print("== GEMM layout sweep (chained x8, bf16 unless noted) ==")
+    for name, m, k, n in shapes:
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+        wt = jnp.asarray(np.asarray(w, np.float32).T.copy(), jnp.bfloat16)
+        wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.full((n,), 0.01, jnp.bfloat16)
+        fl = 2 * m * k * n
+
+        def base(i, x, w):
+            return jnp.dot(x * (1.0 + i * 1e-6), w,
+                           preferred_element_type=jnp.bfloat16)
+
+        def f32acc(i, x, w):
+            return jnp.dot(x * (1.0 + i * 1e-6), w,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        def wT(i, x, wt):
+            return jax.lax.dot_general(
+                x * (1.0 + i * 1e-6), wt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)
+
+        def nsplit2(i, x, w):
+            xi = x * (1.0 + i * 1e-6)
+            h = w.shape[1] // 2
+            return jnp.concatenate(
+                [jnp.dot(xi, w[:, :h], preferred_element_type=jnp.bfloat16),
+                 jnp.dot(xi, w[:, h:], preferred_element_type=jnp.bfloat16)],
+                axis=-1)
+
+        def int8w(i, x, wq, ws):
+            y = jnp.dot(x * (1.0 + i * 1e-6), wq.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.bfloat16)
+            return y * ws
+
+        rows = [("base", chain_timer(base, x, w)),
+                ("f32acc", chain_timer(f32acc, x, w)),
+                ("wT", chain_timer(wT, x, wt)),
+                ("nsplit2", chain_timer(nsplit2, x, w)),
+                ("int8w", chain_timer(int8w, x, wq, ws))]
+        msg = " | ".join(f"{lbl} {t*1e3:.2f}ms ({fl/t/1e12:.0f}TF/s)"
+                         for lbl, t in rows)
+        print(f"  {name} ({m}x{k}x{n}): {msg}")
+
+    # grouped (ragged) formulation: both streams' projections as ONE
+    # ragged_dot over the joint [txt; img] sequence with stacked weights
+    print("== grouped two-stream formulations ==")
+    for name, n in [("qkv", 9216), ("mlp1", 12288), ("proj", 3072)]:
+        k = 3072 if n != 3072 else 3072
+        kk = 12288 if name == "mlp2" else 3072
+        x = jnp.asarray(rng.standard_normal((4608, kk)), jnp.bfloat16)
+        w2 = jnp.asarray(rng.standard_normal((2, kk, n)), jnp.bfloat16)
+        gs = jnp.asarray([512, 4096], jnp.int32)
+        fl = 2 * 4608 * kk * n
+
+        def ragged(i, x, w2, gs):
+            return jax.lax.ragged_dot(
+                x * (1.0 + i * 1e-6), w2, gs,
+                preferred_element_type=jnp.bfloat16)
+
+        def twodots(i, x, w2, gs):
+            xi = x * (1.0 + i * 1e-6)
+            a = jnp.dot(xi[:512], w2[0],
+                        preferred_element_type=jnp.bfloat16)
+            b = jnp.dot(xi[512:], w2[1],
+                        preferred_element_type=jnp.bfloat16)
+            return jnp.concatenate([a, b], axis=0)
+
+        try:
+            t_r = chain_timer(ragged, x, w2, gs)
+            r_msg = f"ragged {t_r*1e3:.2f}ms ({fl/t_r/1e12:.0f}TF/s)"
+        except Exception as e:  # noqa: BLE001
+            r_msg = f"ragged FAILED ({str(e)[:60]})"
+        t_2 = chain_timer(twodots, x, w2, gs)
+        print(f"  {name} (4608x{kk}x{n}): {r_msg} | "
+              f"two-dots {t_2*1e3:.2f}ms ({fl/t_2/1e12:.0f}TF/s)")
+
+
 def exp_flashblocks():
     """Flash attention block-size sweep at the Flux 1024 px + fill shapes.
 
@@ -241,6 +512,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print("backend:", jax.default_backend(), jax.devices())
     which = sys.argv[1:] or ["all"]
+    if "gemm" in which:
+        exp_gemm()
+    if "gemm2" in which:
+        exp_gemm2()
+    if "insitu" in which:
+        exp_insitu()
     if "all" in which or "w8a8" in which:
         exp_w8a8()
     if "all" in which or "flashblocks" in which:
