@@ -47,6 +47,21 @@ def _corpus_sources(specs: List[str]) -> Dict[str, List[str]]:
 
 
 def _build_cfg(args) -> PipelineConfig:
+    # reject unsupported parallelism combos up front, before inpaint/
+    # retrieve stages run for minutes only to die at denoise time
+    # (ADVICE r2): PP serves unsharded per-stage blocks, so it composes
+    # with neither block caching nor TP
+    pp = getattr(args, "pipeline_parallel", 1)
+    if pp > 1 and getattr(args, "block_cache_interval", 1) > 1:
+        raise SystemExit(
+            "--pipeline_parallel and --block_cache_interval are mutually "
+            "exclusive (block caching is not implemented on the pipelined "
+            "denoise path)")
+    if pp > 1 and getattr(args, "model_parallel", 1) > 1:
+        raise SystemExit(
+            "--pipeline_parallel and --model_parallel are mutually "
+            "exclusive (the PP path serves unsharded per-stage block "
+            "params; pick ONE of TP or PP for the transformer)")
     sampling = FluxSamplingConfig(
         num_steps=args.steps,
         height=args.size, width=args.size,
@@ -155,7 +170,12 @@ def _add_common(p: argparse.ArgumentParser):
                    help="EXPERIMENTAL: block-residual caching — blocks "
                         "recompute every N denoise steps, residuals "
                         "replay in between (~1.5x at 2, outputs change; "
-                        "BENCH_NOTES.md). 1 = exact")
+                        "BENCH_NOTES.md). 1 = exact. HBM: the cache holds "
+                        "one bf16 residual per block per sample (~1.6 GB "
+                        "per 1024 px sample on the 12B) ON TOP of weights "
+                        "— batching 5 ranks with int8 12B weights exceeds "
+                        "one 16 GB v5e. Incompatible with "
+                        "--pipeline_parallel")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

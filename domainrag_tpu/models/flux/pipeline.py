@@ -312,6 +312,40 @@ def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
     return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
 
 
+def _check_block_cache_hbm(bundle, batch: int, s_img: int, s_txt: int,
+                           mesh, data_axis: str) -> None:
+    """Block caching holds one bf16 residual per block per sample
+    (~1.6 GB/sample for the 12B at 1024 px).  The serving batch multiplies
+    that, and the reference workload batches up to 5 retrieval ranks into
+    one denoise — on a 16 GB v5e with ~12 GB of int8 weights that OOMs
+    (ADVICE r2).  Estimate per-device HBM at config time and warn loudly
+    before the compile fails opaquely."""
+    from ...core.log import get_logger
+    cfg = bundle.flux_cfg
+    per_dev_batch = batch
+    if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+        d = mesh.shape[data_axis]
+        per_dev_batch = -(-batch // d)
+    cache_bytes = ((cfg.depth_double + cfg.depth_single) * per_dev_batch
+                   * (s_img + s_txt) * cfg.hidden * 2)
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in
+        jax.tree_util.tree_leaves(bundle.flux_params)
+        if hasattr(x, "dtype"))
+    if mesh is not None and bundle.tp_mesh is not None:
+        param_bytes //= max(1, mesh.shape.get(bundle.tp_axis, 1))
+    budget = 15.0e9  # usable HBM on a 16 GB v5e chip
+    if cache_bytes + param_bytes > budget:
+        get_logger("domainrag_tpu.flux").warning(
+            "block_cache_interval>1: estimated per-device HBM %.1f GB "
+            "(residual cache %.1f GB for batch %d + weights %.1f GB) "
+            "exceeds ~%.0f GB — expect RESOURCE_EXHAUSTED; reduce the "
+            "rank batch, shard over more devices, or disable block "
+            "caching", (cache_bytes + param_bytes) / 1e9,
+            cache_bytes / 1e9, per_dev_batch, param_bytes / 1e9,
+            budget / 1e9)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
@@ -416,6 +450,12 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         if block_cache_interval > 1:
             raise ValueError("block_cache_interval is not implemented on "
                              "the pipelined (pipe_axis) path")
+        if bundle.tp_mesh is not None:
+            raise ValueError(
+                "pipe_axis (pipeline parallelism) does not compose with a "
+                "TP-sharded bundle: the PP path serves unsharded per-stage "
+                "block params and would silently ignore tp_mesh. Serve "
+                "with EITHER model_parallel (TP) or pipeline_parallel.")
         S = mesh.shape[pipe_axis]
         stages = _pipeline_stages(bundle, S, mesh=mesh,
                                    axis=pipe_axis)
@@ -431,6 +471,9 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
             g=stages.per_stage_single, n_stages=S)
         out = to_uint8(np.asarray(img, np.float32))[:n_real]
         return out if batched else out[0]
+    if block_cache_interval > 1:
+        _check_block_cache_hbm(bundle, n_real, grid_h * grid_w,
+                               prompt_embeds.shape[-2], mesh, data_axis)
     if mesh is not None:
         # data-parallel sample sharding (replaces the reference's
         # process-per-GPU executor, outpainting...py:1605-1715): pad the
@@ -618,6 +661,12 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
         # counterpart of generate(pipe_axis=...)
         if mesh is None or mesh.shape.get(pipe_axis, 1) <= 1:
             raise ValueError("pipe_axis requires a mesh with that axis")
+        if bundle.tp_mesh is not None:
+            raise ValueError(
+                "pipe_axis (pipeline parallelism) does not compose with a "
+                "TP-sharded bundle: the PP path serves unsharded per-stage "
+                "block params and would silently ignore tp_mesh. Serve "
+                "with EITHER model_parallel (TP) or pipeline_parallel.")
         S = mesh.shape[pipe_axis]
         stages = _pipeline_stages(bundle, S, mesh=mesh,
                                    axis=pipe_axis)
