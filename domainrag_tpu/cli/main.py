@@ -202,6 +202,20 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 for the Flux models (12B fits "
                         "one chip; see models/quant.py)")
+    p.add_argument("--legacy_generate", action="store_true",
+                   help="legacy no-retrieval-JSON generation mode (ref "
+                        "batch_generate_flux_kshot.py:526-736): targets "
+                        "from {inpainted_dir}/{D}/inpainted_images/"
+                        "{sample}/1_inpainted.png, one generated_image.png "
+                        "per sample from the per-dataset legacy retrieval "
+                        "file")
+    p.add_argument("--inpainted_dir", default=None,
+                   help="legacy mode: root of the non-k-shot inpaint "
+                        "layout (defaults to <output_dir>/lamainpaint)")
+    p.add_argument("--retrieval_results_dir", default=None,
+                   help="legacy mode: dir holding {D}_all_categories_"
+                        "retrieval_results.json (defaults to "
+                        "<output_dir>/retrieval_results)")
 
 
 def main(argv=None) -> int:
@@ -252,9 +266,15 @@ def main(argv=None) -> int:
         elif args.command == "retrieve":
             out = runner.run_retrieve()
         elif args.command == "generate":
-            out = runner.run_generate(
-                resume=args.resume,
-                reference_artifacts=args.reference_artifacts)
+            if args.legacy_generate:
+                out = runner.run_generate_legacy(
+                    resume=args.resume,
+                    inpainted_dir=args.inpainted_dir,
+                    retrieval_results_dir=args.retrieval_results_dir)
+            else:
+                out = runner.run_generate(
+                    resume=args.resume,
+                    reference_artifacts=args.reference_artifacts)
         elif args.command == "compose":
             out = runner.run_compose(resume=args.resume,
                                      failed_only=args.failed_only)

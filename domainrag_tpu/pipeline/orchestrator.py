@@ -153,6 +153,25 @@ class PipelineRunner:
                         corpus_roots=corpus_roots)
         return out
 
+    def run_generate_legacy(self, resume: bool = False,
+                            inpainted_dir: str = None,
+                            retrieval_results_dir: str = None):
+        """Legacy no-retrieval-JSON generation (ref
+        batch_generate_flux_kshot.py:526-736): one generated_image.png per
+        sample from the per-dataset legacy retrieval file."""
+        stage = generate_stage.GenerateStage(self.flux_bundle,
+                                             self.cfg.generate)
+        out = {}
+        with self.timer.span("stage/generate-legacy"):
+            for dataset in self.cfg.datasets:
+                out[dataset] = generate_stage.process_dataset_legacy(
+                    stage, dataset,
+                    inpainted_dir or self.lamainpaint_dir,
+                    retrieval_results_dir or self.retrieval_dir,
+                    os.path.join(self.cfg.output_dir, "result"),
+                    resume=resume)
+        return out
+
     def run_compose(self, resume: bool = False, failed_only: bool = False):
         pipe_mesh = self._pipe_mesh()
         stage = compose_stage.ComposeStage(

@@ -254,6 +254,44 @@ def results_dir_name(cfg: GenerateConfig, timestamp: str) -> str:
             f"_{timestamp}")
 
 
+def write_batch_params_header(base_dir: str, dataset: str,
+                              cfg: GenerateConfig, n_samples: int) -> None:
+    """Run-summary header (ref batch_generate_flux_kshot.py:552-564):
+    the per-run parameter record the reference writes before processing.
+    English canonical text; same file name and field set."""
+    r, s = cfg.redux, cfg.sampling
+    with open(os.path.join(base_dir, "batch_params.txt"), "w") as f:
+        f.write(f"dataset: {dataset}\n"
+                f"ref_image_scale: {r.ref_image_scale}\n"
+                f"target_image_scale: {r.target_image_scale}\n"
+                f"ref_text_scale: {r.ref_text_scale}\n"
+                f"target_text_scale: {r.target_text_scale}\n"
+                f"prompt: {r.prompt}\n"
+                f"guidance_scale: {s.guidance_scale}\n"
+                f"num_inference_steps: {s.num_steps}\n"
+                f"num_samples: {n_samples}\n"
+                f"images_per_sample: up to {cfg.top_ranks} "
+                f"(highest-similarity refs)\n"
+                f"image_size: {s.width}x{s.height}\n")
+
+
+def append_batch_params_totals(base_dir: str, counters: Dict[str, int],
+                               total_images: int,
+                               image_sizes: Dict[str, int]) -> None:
+    """Aggregate counters appended after the sweep (ref :1045-1056):
+    success/failed counts, total generated images, a histogram of
+    generated image sizes, and the completion time."""
+    with open(os.path.join(base_dir, "batch_params.txt"), "a") as f:
+        f.write(f"succeeded_samples: {counters.get('processed', 0)}\n"
+                f"failed_samples: {counters.get('failed', 0)}\n"
+                f"total_generated_images: {total_images}\n"
+                f"\ngenerated_size_histogram:\n")
+        for size_str, count in sorted(image_sizes.items(),
+                                      key=lambda x: x[1], reverse=True):
+            f.write(f"  - {size_str}: {count} images\n")
+        f.write(f"\ncompleted: {time.strftime('%Y-%m-%d %H:%M:%S')}\n")
+
+
 def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                     retrieval_results: dict, lamainpaint_dir: str,
                     output_dir: str,
@@ -299,8 +337,11 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
     base_dir = os.path.join(result_root, run_name)
     os.makedirs(base_dir, exist_ok=True)
     manifest = Manifest(os.path.join(base_dir, "manifest.json"))
+    write_batch_params_header(base_dir, dataset, stage.cfg, len(samples))
 
     counters = {"processed": 0, "failed": 0, "skipped": 0, "fallback": 0}
+    total_images = 0
+    image_sizes: Dict[str, int] = {}
     todo = set(manifest.pending(samples, resume=resume))
     reporter = ProgressReporter(len(todo), label="generate")
 
@@ -371,6 +412,11 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
             for item in group:
                 paths = paths_by_sample.get(item["sample_id"], [])
                 counters["processed"] += 1
+                total_images += len(paths)
+                size_key = (f"{stage.cfg.sampling.width}x"
+                            f"{stage.cfg.sampling.height}")
+                image_sizes[size_key] = image_sizes.get(size_key, 0) \
+                    + len(paths)
                 manifest.mark(item["sample_id"], STATUS_DONE,
                               outputs={"images": paths}, elapsed_s=elapsed)
                 reporter.update(ok=True, detail=item["sample_id"])
@@ -391,5 +437,155 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
         counters["fuzzy_hits"] = mig_stats.fuzzy
         counters["migration_missed"] = mig_stats.missed
         counters["repaired_paths"] = mig_stats.repaired_paths
+    append_batch_params_totals(base_dir, counters, total_images,
+                               image_sizes)
     logger.info("%s %d_shot generate: %s", dataset, shot, counters)
+    return counters
+
+
+# ---------------------------------------------------------------------------
+# legacy no-retrieval-JSON mode (ref batch_generate_flux_kshot.py:526-736)
+# ---------------------------------------------------------------------------
+
+def load_legacy_retrieval_results(retrieval_results_dir: str,
+                                  dataset: str) -> Optional[dict]:
+    """Per-dataset legacy retrieval file (ref :155-163):
+    ``{dir}/{dataset}_all_categories_retrieval_results.json`` with layout
+    {category: [{original_filename, similar_images: [{image_path,
+    similarity}]}]}."""
+    import json
+    path = os.path.join(retrieval_results_dir,
+                        f"{dataset}_all_categories_retrieval_results.json")
+    if not os.path.exists(path):
+        logger.warning("no legacy retrieval results for %s (%s)", dataset,
+                       path)
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def find_similar_image_legacy(retrieval_results: dict, sample_name: str,
+                              categories: Sequence[str]
+                              ) -> Optional[str]:
+    """Single best match per the legacy rules (ref :250-300): substring
+    match of the sample name in ``original_filename``, prefer
+    non-"_blurred" corpus paths, highest similarity wins."""
+    if isinstance(categories, str):
+        categories = [categories]
+    for category in categories:
+        for item in retrieval_results.get(category, []):
+            if sample_name not in item.get("original_filename", ""):
+                continue
+            non_blurred, blurred = [], []
+            for similar in item.get("similar_images", []):
+                path = similar.get("image_path", "")
+                if not path or not os.path.exists(path):
+                    continue
+                bucket = blurred if "_blurred" in os.path.basename(path) \
+                    else non_blurred
+                bucket.append((similar.get("similarity", 0.0), path))
+            for bucket in (non_blurred, blurred):
+                if bucket:
+                    return max(bucket, key=lambda x: x[0])[1]
+    return None
+
+
+def legacy_sample_folders(inpainted_dir: str, dataset: str) -> List[str]:
+    """Sample dirs of the legacy (non-k-shot) inpaint layout
+    ``{inpainted_dir}/{dataset}/inpainted_images/{sample}/`` (ref
+    :165-177)."""
+    root = os.path.join(inpainted_dir, dataset, "inpainted_images")
+    if not os.path.isdir(root):
+        logger.warning("no legacy inpainted dir for %s (%s)", dataset, root)
+        return []
+    return sorted(f for f in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, f))
+                  and f != "__pycache__")
+
+
+def process_dataset_legacy(stage: GenerateStage, dataset: str,
+                           inpainted_dir: str, retrieval_results_dir: str,
+                           output_dir: str,
+                           resume: bool = False,
+                           run_name: Optional[str] = None
+                           ) -> Dict[str, int]:
+    """Legacy generation mode (ref ``process_dataset`` :526-736): no
+    all-shots retrieval JSON and no k-shot sweep — targets come from the
+    legacy inpaint layout (``inpainted_images/{sample}/1_inpainted.png``),
+    the single most-similar corpus image is chosen per sample from the
+    per-dataset legacy retrieval file, and ONE ``generated_image.png`` is
+    written per sample. Writes the same ``batch_params.txt`` run summary
+    (header + appended aggregates)."""
+    from ..core.config import DATASET_CATEGORIES
+
+    retrieval_results = load_legacy_retrieval_results(
+        retrieval_results_dir, dataset)
+    samples = legacy_sample_folders(inpainted_dir, dataset)
+    if retrieval_results is None or not samples:
+        return {}
+    if run_name is None:
+        run_name = results_dir_name(stage.cfg,
+                                    time.strftime("%Y%m%d_%H%M%S"))
+    base_dir = os.path.join(output_dir, dataset, run_name)
+    os.makedirs(base_dir, exist_ok=True)
+    manifest = Manifest(os.path.join(base_dir, "manifest.json"))
+    write_batch_params_header(base_dir, dataset, stage.cfg, len(samples))
+
+    categories = DATASET_CATEGORIES.get(dataset.lower(), [dataset.lower()])
+    counters = {"processed": 0, "failed": 0, "skipped": 0}
+    total_images = 0
+    image_sizes: Dict[str, int] = {}
+    todo = set(manifest.pending(samples, resume=resume))
+    reporter = ProgressReporter(len(todo), label="generate-legacy")
+    for sample_name in samples:
+        if should_stop():
+            logger.warning("graceful stop requested during legacy generate")
+            break
+        if sample_name not in todo:
+            counters["skipped"] += 1
+            continue
+        target = os.path.join(inpainted_dir, dataset, "inpainted_images",
+                              sample_name, "1_inpainted.png")
+        if not os.path.exists(target):
+            counters["failed"] += 1
+            manifest.mark(sample_name, STATUS_FAILED,
+                          error="missing 1_inpainted.png")
+            reporter.update(ok=False, detail=sample_name)
+            continue
+        ref_path = find_similar_image_legacy(retrieval_results,
+                                             sample_name, categories)
+        if ref_path is None:
+            counters["failed"] += 1
+            manifest.mark(sample_name, STATUS_FAILED,
+                          error="no matching corpus image")
+            reporter.update(ok=False, detail=sample_name)
+            continue
+        sample_dir = os.path.join(base_dir, sample_name)
+        try:
+            paths = stage.generate_sample(
+                sample_name, target, [{"image_path": ref_path, "rank": 1}],
+                sample_dir)
+            # legacy naming: one un-ranked generated_image.png (ref :608)
+            legacy_path = os.path.join(sample_dir, "generated_image.png")
+            os.replace(paths[0], legacy_path)
+            counters["processed"] += 1
+            total_images += 1
+            size_key = (f"{stage.cfg.sampling.width}x"
+                        f"{stage.cfg.sampling.height}")
+            image_sizes[size_key] = image_sizes.get(size_key, 0) + 1
+            manifest.mark(sample_name, STATUS_DONE,
+                          outputs={"images": [legacy_path]})
+            reporter.update(ok=True, detail=sample_name)
+        except Exception as e:
+            logger.exception("legacy generation failed for %s", sample_name)
+            os.makedirs(sample_dir, exist_ok=True)
+            with open(os.path.join(sample_dir,
+                                   "generation_failed.txt"), "w") as f:
+                f.write(str(e))
+            counters["failed"] += 1
+            manifest.mark(sample_name, STATUS_FAILED, error=str(e))
+            reporter.update(ok=False, detail=sample_name)
+    append_batch_params_totals(base_dir, counters, total_images,
+                               image_sizes)
+    logger.info("%s legacy generate: %s", dataset, counters)
     return counters
