@@ -188,6 +188,21 @@ def _add_common(p: argparse.ArgumentParser):
                    help="multi-host sharding: this worker's index")
     p.add_argument("--num_workers", type=int, default=1,
                    help="multi-host sharding: total workers")
+    p.add_argument("--distributed", action="store_true",
+                   help="coordinate workers via jax.distributed: stage "
+                        "boundaries barrier across hosts and worker 0 "
+                        "merges retrieval/manifest partials "
+                        "(parallel/multihost.py). Sets worker_id/"
+                        "num_workers from the process index/count")
+    p.add_argument("--coordinator", default=None,
+                   help="--distributed: host:port of process 0 (omit to "
+                        "autodetect from the TPU environment)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="--distributed: total process count (with "
+                        "--coordinator)")
+    p.add_argument("--process_index", type=int, default=None,
+                   help="--distributed: this process's index (with "
+                        "--coordinator)")
     p.add_argument("--force_recompute", action="store_true",
                    help="ignore feature caches (reference --force_* flags)")
     p.add_argument("--corpus_features", nargs="*", default=[],
@@ -229,6 +244,16 @@ def main(argv=None) -> int:
             p.add_argument("--stages",
                            default="inpaint,retrieve,generate,compose")
     args = parser.parse_args(argv)
+
+    if getattr(args, "distributed", False):
+        import jax
+        from ..parallel.mesh import initialize_distributed
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_index)
+        args.worker_id = jax.process_index()
+        args.num_workers = jax.process_count()
+        logger.info("distributed: worker %d/%d", args.worker_id,
+                    args.num_workers)
 
     if args.auto_shots and len(args.datasets) == 1:
         args.shots = list(get_shots_for_dataset(args.datasets[0]))

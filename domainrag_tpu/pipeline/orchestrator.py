@@ -73,10 +73,22 @@ class PipelineRunner:
 
     def _data_mesh(self):
         """Data mesh when >1 device is visible (sharded retrieval + DP
-        generation), else None."""
-        if len(jax.devices()) > 1:
+        generation), else None.
+
+        Multi-host worker slicing (num_workers > 1 under jax.distributed)
+        deliberately restricts the mesh to THIS host's local devices:
+        each worker runs an independent program over a disjoint sample
+        slice, so a global mesh would require lockstep identical
+        collectives across hosts (they differ per slice — measured gloo
+        crash). Cross-host scale-out is the sample dimension over DCN;
+        in-host scale-out is this local mesh."""
+        from ..parallel import multihost
+        devices = (jax.local_devices() if multihost.is_distributed()
+                   and self.cfg.num_workers > 1 else jax.devices())
+        if len(devices) > 1:
             return create_mesh(
-                model_parallel=self.cfg.mesh.model_parallel_size)
+                model_parallel=self.cfg.mesh.model_parallel_size,
+                devices=devices)
         return None
 
     def _pipe_mesh(self):
@@ -86,7 +98,10 @@ class PipelineRunner:
         if pp > 1:
             import numpy as np
             from jax.sharding import Mesh
-            devices = jax.devices()
+            from ..parallel import multihost
+            devices = (jax.local_devices()
+                       if multihost.is_distributed()
+                       and self.cfg.num_workers > 1 else jax.devices())
             if len(devices) < pp:
                 raise ValueError(f"pipeline_parallel_size={pp} needs {pp} "
                                  f"devices, found {len(devices)}")
@@ -110,12 +125,31 @@ class PipelineRunner:
                                                          mesh=mesh)
 
     def run_retrieve(self):
+        from ..parallel import multihost
         with self.timer.span("stage/retrieve"):
             bank = self._build_bank(mesh=self._data_mesh())
-            return retrieve_stage.run_retrieval(
+            out = retrieve_stage.run_retrieval(
                 self.cfg.datasets, self.cfg.shots, bank, self.clip_encoder,
                 self.style_encoder, self.lamainpaint_dir,
-                self.retrieval_dir, self.cfg.retrieval)
+                self.retrieval_dir, self.cfg.retrieval,
+                worker_id=self.cfg.worker_id,
+                num_workers=self.cfg.num_workers)
+            if self.cfg.num_workers > 1:
+                # fence all hosts, then worker 0 merges the partials into
+                # the canonical all-shots contract the next stage reads
+                multihost.barrier("retrieve-done")
+                if multihost.is_distributed():
+                    if multihost.process_index() == 0:
+                        multihost.merge_worker_retrieval_results(
+                            self.retrieval_dir)
+                    multihost.barrier("retrieve-merged")
+                elif self.cfg.worker_id == 0:
+                    # independent-process mode: no barrier exists; worker 0
+                    # merges whatever partials are present (launcher must
+                    # sequence workers, or run `retrieve --merge_only`)
+                    multihost.merge_worker_retrieval_results(
+                        self.retrieval_dir)
+            return out
 
     def run_generate(self, resume: bool = False,
                      reference_artifacts: bool = False):
@@ -137,6 +171,12 @@ class PipelineRunner:
         # batching when several devices are visible
         pipe_mesh = self._pipe_mesh()
         mesh = None if pipe_mesh is not None else self._data_mesh()
+        from ..parallel import multihost
+        # multi-host: the timestamped run dir must agree across hosts
+        run_name = None
+        if self.cfg.num_workers > 1:
+            run_name = generate_stage.results_dir_name(
+                self.cfg.generate, multihost.shared_timestamp())
         out = {}
         with self.timer.span("stage/generate"):
             for dataset in self.cfg.datasets:
@@ -145,12 +185,32 @@ class PipelineRunner:
                         stage, dataset, shot, retrieval_results,
                         self.lamainpaint_dir, self.cfg.output_dir,
                         corpus_paths=corpus_paths, resume=resume,
+                        run_name=run_name,
                         worker_id=self.cfg.worker_id,
                         num_workers=self.cfg.num_workers,
                         mesh=mesh, pipe_mesh=pipe_mesh,
                         pipe_axis=self.cfg.mesh.pipe_axis,
                         reference_artifacts=reference_artifacts,
                         corpus_roots=corpus_roots)
+            if self.cfg.num_workers > 1 and run_name is not None:
+                multihost.barrier("generate-done")
+                i_merge = (multihost.process_index() == 0
+                           if multihost.is_distributed()
+                           else self.cfg.worker_id == 0)
+                if i_merge:
+                    import glob as _glob
+                    for dataset in self.cfg.datasets:
+                        for shot in self.cfg.shots:
+                            base = os.path.join(
+                                self.cfg.output_dir, "result",
+                                f"{dataset}_{shot}shot_retrieval", run_name)
+                            parts = sorted(_glob.glob(os.path.join(
+                                base, "manifest.worker*.json")))
+                            if parts:
+                                multihost.merge_worker_manifests(
+                                    parts,
+                                    os.path.join(base, "manifest.json"))
+                multihost.barrier("generate-merged")
         return out
 
     def run_generate_legacy(self, resume: bool = False,

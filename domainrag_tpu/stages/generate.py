@@ -277,11 +277,16 @@ def write_batch_params_header(base_dir: str, dataset: str,
 
 def append_batch_params_totals(base_dir: str, counters: Dict[str, int],
                                total_images: int,
-                               image_sizes: Dict[str, int]) -> None:
+                               image_sizes: Dict[str, int],
+                               worker_tag: str = None) -> None:
     """Aggregate counters appended after the sweep (ref :1045-1056):
     success/failed counts, total generated images, a histogram of
-    generated image sizes, and the completion time."""
+    generated image sizes, and the completion time. Under multi-host
+    sharding each worker appends its own tagged block (one write call,
+    disjoint sample slices)."""
     with open(os.path.join(base_dir, "batch_params.txt"), "a") as f:
+        if worker_tag:
+            f.write(f"\n[{worker_tag}]\n")
         f.write(f"succeeded_samples: {counters.get('processed', 0)}\n"
                 f"failed_samples: {counters.get('failed', 0)}\n"
                 f"total_generated_images: {total_images}\n"
@@ -336,8 +341,15 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
                                     time.strftime("%Y%m%d_%H%M%S"))
     base_dir = os.path.join(result_root, run_name)
     os.makedirs(base_dir, exist_ok=True)
-    manifest = Manifest(os.path.join(base_dir, "manifest.json"))
-    write_batch_params_header(base_dir, dataset, stage.cfg, len(samples))
+    # per-worker manifest under multi-host sharding (the file is whole-
+    # rewritten atomically, so two hosts sharing one path would drop each
+    # other's records); multihost.merge_worker_manifests unifies them
+    mname = "manifest.json" if num_workers <= 1 \
+        else f"manifest.worker{worker_id}.json"
+    manifest = Manifest(os.path.join(base_dir, mname))
+    if worker_id == 0:
+        write_batch_params_header(base_dir, dataset, stage.cfg,
+                                  len(samples))
 
     counters = {"processed": 0, "failed": 0, "skipped": 0, "fallback": 0}
     total_images = 0
@@ -438,7 +450,9 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
         counters["migration_missed"] = mig_stats.missed
         counters["repaired_paths"] = mig_stats.repaired_paths
     append_batch_params_totals(base_dir, counters, total_images,
-                               image_sizes)
+                               image_sizes,
+                               worker_tag=(f"worker{worker_id}"
+                                           if num_workers > 1 else None))
     logger.info("%s %d_shot generate: %s", dataset, shot, counters)
     return counters
 

@@ -276,22 +276,35 @@ def retrieve_dataset_shot(
         clip_encoder: ClipImageEncoder, style_encoder: StyleEncoder,
         lamainpaint_dir: str, results_dir: str,
         cfg: RetrievalConfig = RetrievalConfig(),
-        force_recompute_inpainted: bool = False) -> Dict[str, List[dict]]:
+        force_recompute_inpainted: bool = False,
+        worker_id: int = 0, num_workers: int = 1) -> Dict[str, List[dict]]:
     """Mirrors ``retrieve_by_category_multi_source`` (ref :773-898):
     returns {category: [{sample_id, image_path, category, similar_images}]}
-    and writes per-sample + aggregate JSONs."""
+    and writes per-sample + aggregate JSONs.
+
+    ``worker_id``/``num_workers``: multi-host sample sharding — each
+    worker retrieves a disjoint round-robin slice of the dataset-shot's
+    samples and writes worker-suffixed aggregate/cache files
+    (parallel.multihost merges them into the canonical contract)."""
     sample_to_image, sample_to_category = get_inpainted_images(
         lamainpaint_dir, dataset, shot)
     if not sample_to_image:
         return {}
     os.makedirs(results_dir, exist_ok=True)
 
+    wtag = f".worker{worker_id}" if num_workers > 1 else ""
     # query-side feature cache (ref :794-822 file names)
     feat_file = os.path.join(
-        results_dir, f"{dataset}_{shot}_shot_inpainted_clip_features.npy")
+        results_dir,
+        f"{dataset}_{shot}_shot_inpainted_clip_features{wtag}.npy")
     paths_file = os.path.join(
-        results_dir, f"{dataset}_{shot}_shot_inpainted_image_paths.json")
-    sample_ids = sorted(sample_to_image)
+        results_dir,
+        f"{dataset}_{shot}_shot_inpainted_image_paths{wtag}.json")
+    from ..core.config import worker_slice
+    sample_ids = worker_slice(sorted(sample_to_image), worker_id,
+                              num_workers)
+    if not sample_ids:
+        return {}
     query_paths = [sample_to_image[s] for s in sample_ids]
     features = None
     if not force_recompute_inpainted and os.path.exists(feat_file) \
@@ -341,7 +354,7 @@ def retrieve_dataset_shot(
         })
 
     out_file = os.path.join(
-        results_dir, f"{dataset}_{shot}_shot_retrieval_results.json")
+        results_dir, f"{dataset}_{shot}_shot_retrieval_results{wtag}.json")
     with open(out_file, "w", encoding="utf-8") as f:
         json.dump(all_results, f, indent=2, ensure_ascii=False)
     logger.info("%s %d_shot: %d categories retrieved", dataset, shot,
@@ -353,20 +366,29 @@ def run_retrieval(datasets: Sequence[str], shots: Sequence[int],
                   bank: EmbeddingBank, clip_encoder: ClipImageEncoder,
                   style_encoder: StyleEncoder, lamainpaint_dir: str,
                   results_dir: str,
-                  cfg: RetrievalConfig = RetrievalConfig()) -> dict:
+                  cfg: RetrievalConfig = RetrievalConfig(),
+                  worker_id: int = 0, num_workers: int = 1) -> dict:
     """Top-level sweep; writes ``all_shots_retrieval_results.json``
-    (ref :1053-1097) — the contract consumed by the generate stage."""
+    (ref :1053-1097) — the contract consumed by the generate stage.
+
+    With ``num_workers`` > 1 each worker writes its disjoint partial as
+    ``all_shots_retrieval_results.worker{W}.json``;
+    :func:`domainrag_tpu.parallel.multihost.merge_worker_retrieval_results`
+    (worker 0 after a barrier) produces the canonical file."""
     all_shots: Dict[str, dict] = {}
     for dataset in datasets:
         all_shots[dataset] = {}
         for shot in shots:
             results = retrieve_dataset_shot(
                 dataset, shot, bank, clip_encoder, style_encoder,
-                lamainpaint_dir, results_dir, cfg)
+                lamainpaint_dir, results_dir, cfg,
+                worker_id=worker_id, num_workers=num_workers)
             if results:
                 all_shots[dataset][f"{shot}_shot"] = results
     if any(all_shots.values()):
-        out = os.path.join(results_dir, "all_shots_retrieval_results.json")
+        name = "all_shots_retrieval_results.json" if num_workers <= 1 \
+            else f"all_shots_retrieval_results.worker{worker_id}.json"
+        out = os.path.join(results_dir, name)
         with open(out, "w", encoding="utf-8") as f:
             json.dump(all_shots, f, indent=2, ensure_ascii=False)
     return all_shots
