@@ -151,6 +151,38 @@ def redux_prior_pairs(bundle: FluxBundle, images: np.ndarray,
                                          pooled_prompt_embeds_scale)
 
 
+def redux_prior_pairs_indexed(bundle: FluxBundle,
+                              unique_images: np.ndarray,
+                              pair_idx: np.ndarray,
+                              prompt: str,
+                              prompt_embeds_scale: Sequence[float],
+                              pooled_prompt_embeds_scale: Sequence[float]
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """:func:`redux_prior_pairs` with image DEDUPLICATION: the SigLIP
+    tower runs once per UNIQUE image and the per-pair embeddings are
+    gathered by index.
+
+    The workload shares one target image across a sample's <=5 retrieval
+    ranks (batch_generate_flux_kshot.py:996-1005 runs the prior per rank
+    pair, re-encoding the target every time — 2K tower forwards where
+    K+1 suffice). ``unique_images``: (U, S, S, 3) siglip-preprocessed;
+    ``pair_idx``: (N, K) int indices into the unique batch. Returns
+    ((N, S_txt + S_img, D), (N, P))."""
+    assert bundle.siglip_params is not None, "bundle lacks Redux weights"
+    pair_idx = np.asarray(pair_idx)
+    n, k = pair_idx.shape
+    txt1, pooled1 = encode_prompt(bundle, [prompt])
+    txt = jnp.broadcast_to(txt1[:, None], (n, k) + txt1.shape[1:])
+    pooled = jnp.broadcast_to(pooled1[:, None], (n, k) + pooled1.shape[1:])
+    sig = siglip_mod.apply(bundle.siglip_params, jnp.asarray(unique_images),
+                           bundle.siglip_cfg)
+    img_unique = redux_mod.apply(bundle.redux_params, sig)   # (U, S_i, D)
+    img_embeds = jnp.take(img_unique, jnp.asarray(pair_idx), axis=0)
+    return redux_mod.combine_prior_pairs(txt, pooled, img_embeds,
+                                         prompt_embeds_scale,
+                                         pooled_prompt_embeds_scale)
+
+
 def redux_prior(bundle: FluxBundle, images: np.ndarray,
                 prompts: Sequence[str],
                 prompt_embeds_scale: Sequence[float],

@@ -101,6 +101,26 @@ class GenerateStage:
             pooled_prompt_embeds_scale=[r.ref_text_scale,
                                         r.target_text_scale])
 
+    def _priors_for_sample(self, refs: List[dict], target_path: str):
+        """All ranks' (ref, target) priors in ONE batched tower forward
+        with the shared target encoded once (K+1 SigLIP images instead of
+        2K — the target tower ran per rank in the reference,
+        batch_generate_flux_kshot.py:996-1005)."""
+        size = self.bundle.siglip_cfg.image_size
+        unique = np.stack(
+            [imaging.siglip_preprocess(imaging.load_rgb(r["image_path"]),
+                                       size) for r in refs]
+            + [imaging.siglip_preprocess(imaging.load_rgb(target_path),
+                                         size)])
+        k = len(refs)
+        pair_idx = np.stack([np.arange(k), np.full(k, k)], axis=1)
+        r = self.cfg.redux
+        return flux_pipeline.redux_prior_pairs_indexed(
+            self.bundle, unique, pair_idx, r.prompt,
+            prompt_embeds_scale=[r.ref_image_scale, r.target_image_scale],
+            pooled_prompt_embeds_scale=[r.ref_text_scale,
+                                        r.target_text_scale])
+
     def generate_sample(self, sample_id: str, target_path: str,
                         refs: List[dict], sample_dir: str,
                         timer: Optional[StepTimer] = None,
@@ -112,15 +132,8 @@ class GenerateStage:
         timer = timer or StepTimer()
         s = self.cfg.sampling
         os.makedirs(sample_dir, exist_ok=True)
-        embeds, pooleds = [], []
         with timer.span("prior"):
-            for ref in refs:
-                e, p = self._prior_for_pair(ref["image_path"], target_path)
-                embeds.append(e[0])
-                pooleds.append(p[0])
-        import jax.numpy as jnp
-        embeds = jnp.stack(embeds)
-        pooleds = jnp.stack(pooleds)
+            embeds, pooleds = self._priors_for_sample(refs, target_path)
         with timer.span("denoise"):
             images = flux_pipeline.generate(
                 self.bundle, embeds, pooleds, height=s.height,
@@ -212,15 +225,23 @@ def generate_samples_dp(stage: GenerateStage,
         return {}
 
     with timer.span("prior"):
-        imgs = np.stack([
-            np.stack([
-                imaging.siglip_preprocess(
-                    imaging.load_rgb(ref["image_path"]), size),
-                imaging.siglip_preprocess(
-                    imaging.load_rgb(item["target_path"]), size)])
-            for item, ref in pairs])
-        embeds, pooleds = flux_pipeline.redux_prior_pairs(
-            stage.bundle, imgs, r.prompt,
+        # unique-image prior: each path's tower forward runs once even
+        # though a sample's target appears in every one of its ranks
+        path_to_idx: Dict[str, int] = {}
+        unique_imgs: List[np.ndarray] = []
+
+        def idx_of(path: str) -> int:
+            if path not in path_to_idx:
+                path_to_idx[path] = len(unique_imgs)
+                unique_imgs.append(imaging.siglip_preprocess(
+                    imaging.load_rgb(path), size))
+            return path_to_idx[path]
+
+        pair_idx = np.asarray([[idx_of(ref["image_path"]),
+                                idx_of(item["target_path"])]
+                               for item, ref in pairs])
+        embeds, pooleds = flux_pipeline.redux_prior_pairs_indexed(
+            stage.bundle, np.stack(unique_imgs), pair_idx, r.prompt,
             prompt_embeds_scale=[r.ref_image_scale, r.target_image_scale],
             pooled_prompt_embeds_scale=[r.ref_text_scale,
                                         r.target_text_scale])

@@ -129,3 +129,24 @@ def test_generate_block_cache_interval(rng):
                        exact.ravel().astype(float))[0, 1]
     assert corr > 0.9          # approximation, not equality
     assert not np.array_equal(cached, exact)  # and it actually engaged
+
+
+def test_prior_pairs_indexed_matches_dense(bundle):
+    """Deduplicated-tower prior == the dense per-pair prior (the target
+    tower forward is shared across ranks, not recomputed)."""
+    import numpy as np
+    rng = np.random.default_rng(4)
+    size = bundle.siglip_cfg.image_size
+    uniq = rng.standard_normal((3, size, size, 3)).astype(np.float32)
+    pair_idx = np.asarray([[0, 2], [1, 2]])   # two ranks, shared target 2
+    dense_imgs = uniq[pair_idx]               # (2, 2, S, S, 3)
+    e1, p1 = fp.redux_prior_pairs(
+        bundle, dense_imgs, "", prompt_embeds_scale=[0.8, 1.0],
+        pooled_prompt_embeds_scale=[1.0, 1.0])
+    e2, p2 = fp.redux_prior_pairs_indexed(
+        bundle, uniq, pair_idx, "", prompt_embeds_scale=[0.8, 1.0],
+        pooled_prompt_embeds_scale=[1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(e1, np.float32),
+                               np.asarray(e2, np.float32), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p1, np.float32),
+                               np.asarray(p2, np.float32), atol=2e-5)
