@@ -60,12 +60,12 @@ def _flash_kernel(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_buf[:] = jnp.full_like(m_buf, NEG_INF)
         l_buf[:] = jnp.zeros_like(l_buf)
 
-    q = q_ref[0]                     # (bq, D)
+    q = q_ref[0]                     # (bq, D) — scale pre-folded into q
     k = k_ref[0]                     # (bkv, D)
     v = v_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
 
     if masked:
         # mask kv padding (and causal structure if requested); the validity
@@ -112,11 +112,11 @@ def _flash_kernel_1pass(kv_valid_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                         causal: bool, block_q: int, masked: bool):
     """Whole-KV-in-one-block specialization (the tuned policy at <=4608
     tokens): plain softmax, no running-max scratch, no correction chain."""
-    q = q_ref[0]
+    q = q_ref[0]                     # scale pre-folded into q
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
     if masked:
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = kv_pos < kv_valid_ref[0]
@@ -143,14 +143,24 @@ def _round_up(x, m):
 
 
 def _tuned_blocks(s_kv: int):
-    """Measured block policy (tools/tpu_experiments.py flashblocks, v5e):
-    a single KV pass (block_kv = whole padded KV) is 1.7x the old 256/512
-    default at the 1024 px Flux shape (4608 tokens: 4.98 vs 8.53 ms/layer)
-    and best at 8448 tokens (10.8 vs 16.4 ms); beyond 4608 the KV is split
-    into the fewest even tiles <=4608 to bound VMEM (scores block
-    256x4608 f32 = 4.7 MB) — an even split, not a fixed 4608 tile, so KV
-    lengths just past a multiple of 4608 don't pad by nearly a whole tile
-    (e.g. 4736 tiles as 2x2368, not 2x4608)."""
+    """Measured block policy (tools/tpu_experiments.py flash2/flash3,
+    v5e, round 3, slope-calibrated): a SINGLE KV pass (block_kv = whole
+    padded KV) wins at every production shape once the Mosaic VMEM budget
+    is raised (v5e has 128 MiB; the scores tile at bq=512 x 16896 kv is
+    34.6 MB):
+
+        4608 tokens (1024 px):  bq=512  1.33 ms/layer (99 % MFU)
+        8448 tokens (fill):     bq=256  6.03 ms (74 %) [512: 6.18]
+        16896 tokens (2048 px): bq=512 21.63 ms (82 %) [256: 23.18]
+
+    bq is therefore 512 except in the mid band around 8448 where 256
+    measured best. Beyond ~49k tokens (past the 2800 px fill cap) the
+    scores tile would exceed the VMEM budget — fall back to the fewest
+    even KV tiles <=4608 (bounded padding waste)."""
+    skv_pad = _round_up(s_kv, 128)
+    if s_kv <= 49152:
+        bq = 512 if (s_kv <= 4608 or s_kv > 11264) else 256
+        return bq, skv_pad
     n_tiles = -(-s_kv // 4608)
     return 256, _round_up(-(-s_kv // n_tiles), 128)
 
@@ -181,8 +191,13 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
         q, k, block_q, block_kv)
     # base-2 logits: exp2 is the native VPU transcendental; log2(e) folds
     # into the QK^T scale for free (the kernels convert the LSE back to
-    # natural units on the final write)
+    # natural units on the final write).  The scale is pre-multiplied into
+    # q OUTSIDE the kernel: one (S, D) elementwise pass instead of a
+    # (bq, bkv) logits-tile pass per grid cell (the kernel is VPU-bound on
+    # the softmax; the logits tile is 36x larger than the q tile at the
+    # 4608-token Flux shape).  f32 multiply, then back to the input dtype.
     scale = LOG2_E / math.sqrt(d)
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qp = _pad_to(q, sq_pad, d_pad).reshape(b * h, sq_pad, d_pad)
     kp = _pad_to(k, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
     vp = _pad_to(v, skv_pad, d_pad).reshape(b * h, skv_pad, d_pad)
@@ -237,6 +252,9 @@ def _flash_forward(q, k, v, causal, block_q, block_kv, interpret,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB VMEM; the default Mosaic budget rejects the
+            # larger single-pass scores tiles that measure fastest
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * skv_pad * d_pad,

@@ -213,19 +213,33 @@ def _topk_kernel(q_ref, bank_ref, out_s_ref, out_i_ref,
 
     def row_group(r, _):
         rows = pl.ds(r * _ROW_GROUP, _ROW_GROUP)
-        run_s, run_i = acc_s[rows, :], acc_i[rows, :]
         for c in range(block_n // k_pad):
             cols = slice(c * k_pad, (c + 1) * k_pad)
             chunk_s = score_buf[rows, cols]
-            chunk_i = jax.lax.broadcasted_iota(
-                jnp.int32, (_ROW_GROUP, k_pad), 1) + (base + c * k_pad)
-            chunk_i = jnp.where(chunk_s > NEG_INF, chunk_i,
-                                jnp.int32(2**31 - 1))
-            chunk_s, chunk_i = bitonic_sort(chunk_s, chunk_i,
-                                            descending=False)
-            run_s, run_i = _merge_sorted_topk(run_s, run_i, chunk_s, chunk_i)
-        acc_s[rows, :] = run_s
-        acc_i[rows, :] = run_i
+            # threshold gate: the chunk can change the running top-k only
+            # if some element strictly beats its row's k-th best (equal
+            # scores lose on index — the stream visits the bank in
+            # ascending index order, so anything already held has a lower
+            # index).  After the first few tiles almost every chunk fails
+            # this test, so the O(k log^2 k) sort+merge below — the whole
+            # VPU cost of the old kernel — is skipped (VERDICT r2 item 4:
+            # shortlist-style redesign).
+            thresh = acc_s[rows, k_pad - 1:k_pad]          # (G, 1)
+            hit = jnp.any(chunk_s > thresh)
+
+            @pl.when(hit)
+            def _(chunk_s=chunk_s, rows=rows, c=c):
+                run_s, run_i = acc_s[rows, :], acc_i[rows, :]
+                chunk_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (_ROW_GROUP, k_pad), 1) + (base + c * k_pad)
+                chunk_i = jnp.where(chunk_s > NEG_INF, chunk_i,
+                                    jnp.int32(2**31 - 1))
+                chunk_s, chunk_i = bitonic_sort(chunk_s, chunk_i,
+                                                descending=False)
+                run_s, run_i = _merge_sorted_topk(run_s, run_i,
+                                                  chunk_s, chunk_i)
+                acc_s[rows, :] = run_s
+                acc_i[rows, :] = run_i
         return 0
 
     jax.lax.fori_loop(0, block_q // _ROW_GROUP, row_group, 0)

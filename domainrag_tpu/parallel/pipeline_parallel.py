@@ -207,9 +207,24 @@ def pipelined_apply(params, stages: PipelineStages,
             v1 = jnp.where(is_first, v0, v1)
             a0 = jnp.where(is_first, fresh_x, a0)
             v0 = jnp.where(is_first, fresh_v, v0)
-            # -- compute both virtual stages --
-            a0 = run_doubles(doubles, a0, v0)
-            a1 = run_singles(singles, a1, v1)
+            # -- compute both virtual stages, gated on slot validity --
+            # the slot schedule is deterministic: stage idx's doubles slot
+            # holds microbatch (t - idx), its singles slot (t - S - idx);
+            # outside [0, m_count) the slot carries warmup/drain ghosts.
+            # lax.cond genuinely skips the branch on TPU, so the drain
+            # phase stops burning 2S full-stage computations per forward
+            # (ADVICE r2); the ppermutes below stay unconditional — every
+            # device must join each step's collectives.
+            m_d = t - idx
+            m_s = t - S - idx
+            valid_d = jnp.logical_and(m_d >= 0, m_d < m_count)
+            valid_s = jnp.logical_and(m_s >= 0, m_s < m_count)
+            a0 = jax.lax.cond(
+                valid_d, lambda a, v: run_doubles(doubles, a, v),
+                lambda a, v: a, a0, v0)
+            a1 = jax.lax.cond(
+                valid_s, lambda a, v: run_singles(singles, a, v),
+                lambda a, v: a, a1, v1)
             # -- advance the ring --
             a0 = jax.lax.ppermute(a0, axis, perm)
             a1 = jax.lax.ppermute(a1, axis, perm)

@@ -116,17 +116,17 @@ def test_flash_lse_kv_valid(rng):
 
 
 def test_tuned_block_policy():
-    """Default flash blocks follow the measured v5e policy: one KV pass
-    (whole padded KV) up to 4608; beyond, the fewest even tiles <=4608 so
-    padding waste stays bounded (no near-2x padding just past a tile
-    boundary); backward caps its kv block at 1024 for VMEM regardless."""
+    """Default flash blocks follow the measured v5e policy (round 3):
+    one KV pass at every production shape; bq=512 except the mid band
+    around the 8448-token fill shape; even-tile fallback only past ~49k
+    tokens; backward caps its kv block at 1024 for VMEM regardless."""
     from domainrag_tpu.ops.attention import _tuned_blocks
 
-    assert _tuned_blocks(512) == (256, 512)
-    assert _tuned_blocks(640) == (256, 640)
-    assert _tuned_blocks(77) == (256, 128)       # pads to lane multiple
-    assert _tuned_blocks(4608) == (256, 4608)    # 1024px joint seq
-    assert _tuned_blocks(8448) == (256, 4224)    # fill regime: 2 even tiles
-    assert _tuned_blocks(16896) == (256, 4224)   # 2048px fill: 4 even tiles
-    assert _tuned_blocks(4736) == (256, 2432)    # just past one pass: no
-    # near-whole-tile padding (old policy padded 4736 -> 9216)
+    assert _tuned_blocks(512) == (512, 512)
+    assert _tuned_blocks(640) == (512, 640)
+    assert _tuned_blocks(77) == (512, 128)       # pads to lane multiple
+    assert _tuned_blocks(4608) == (512, 4608)    # 1024px joint seq
+    assert _tuned_blocks(8448) == (256, 8448)    # fill regime: one pass
+    assert _tuned_blocks(16896) == (512, 16896)  # 2048px fill: one pass
+    assert _tuned_blocks(31104) == (512, 31104)  # 2800px fill cap
+    assert _tuned_blocks(60000) == (256, 4352)   # beyond VMEM: even tiles

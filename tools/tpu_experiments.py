@@ -188,6 +188,44 @@ def exp_gemm2():
         print(f"  {name} ({m}x{k}x{n}): {msg}")
 
 
+def exp_flash2():
+    """Slope-calibrated flash attention per-layer timing at the Flux
+    shapes — measures the kernel-v2 work (mask-free 1-pass, exp2,
+    q-prescale) and sweeps bq."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops.attention import (attention_reference,
+                                             flash_attention)
+
+    rng = np.random.default_rng(0)
+    print("== flash v2 per-layer (slope-calibrated) ==")
+    for seq in (4608, 8448, 16896):
+        q = jnp.asarray(rng.standard_normal((1, 24, seq, 128)),
+                        jnp.bfloat16)
+        flops = 4 * seq * seq * 128 * 24
+
+        def mk(bq, bkv):
+            def make(chain):
+                @jax.jit
+                def f(y):
+                    for _ in range(chain):
+                        y = flash_attention(y, y, y, block_q=bq,
+                                            block_kv=bkv)
+                    return y
+                return lambda: f(q)
+            return make
+
+        from domainrag_tpu.ops.attention import _tuned_blocks
+        tq, tkv = _tuned_blocks(seq)
+        rows = [(f"bq={bq}" + ("*" if (bq, bkv) == (tq, tkv) else ""),
+                 _slope_time(mk(bq, bkv), c_lo=4, c_hi=16))
+                for bq, bkv in [(128, tkv), (256, tkv), (512, tkv)]]
+        msg = " | ".join(f"{lbl} {t*1e3:.2f}ms ({flops/t/1e12:.0f}TF/s "
+                         f"{flops/t/197e12*100:.0f}%MFU)"
+                         for lbl, t in rows)
+        print(f"  seq={seq}: {msg}")
+
+
 def exp_insitu():
     """In-situ per-block cost via DEPTH slope: time the full proxy forward
     at two (double, single) depth pairs; the depth difference isolates the
@@ -506,6 +544,123 @@ def exp_stepbreak():
           f"{(t_flash-t_noattn)/t_flash*100:.0f}%)")
 
 
+def exp_flash3():
+    """Can the fill shapes run ONE KV pass? v5e VMEM is 128 MiB; the
+    4608 cap was conservative. Scores tile at bq=512, kv=16896 is 34.6 MB."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    print("== flash 1-pass cap probe ==")
+    for seq in (8448, 16896):
+        q = jnp.asarray(rng.standard_normal((1, 24, seq, 128)),
+                        jnp.bfloat16)
+        flops = 4 * seq * seq * 128 * 24
+        for bq in (256, 512):
+            def make(chain, bq=bq):
+                @jax.jit
+                def f(y):
+                    for _ in range(chain):
+                        y = flash_attention(y, y, y, block_q=bq,
+                                            block_kv=seq)
+                    return y
+                return lambda: f(q)
+            try:
+                t = _slope_time(make, c_lo=4, c_hi=16)
+                print(f"  seq={seq} bq={bq} 1-pass: {t*1e3:.2f}ms "
+                      f"({flops/t/1e12:.0f}TF/s "
+                      f"{flops/t/197e12*100:.0f}%MFU)")
+            except Exception as e:  # noqa: BLE001
+                print(f"  seq={seq} bq={bq} 1-pass FAILED: {str(e)[:100]}")
+
+
+def exp_topk2():
+    """Slope-calibrated retrieval top-k: XLA vs the threshold-gated Pallas
+    kernel (round-3 shortlist redesign) at the production shapes."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops.topk import topk_ip, topk_ip_pallas
+
+    rng = np.random.default_rng(0)
+    print("== top-k slope-calibrated ==")
+    for nq, nb in [(128, 100_000), (512, 200_000), (2048, 200_000)]:
+        qv = jnp.asarray(rng.standard_normal((nq, 512)), jnp.float32)
+        qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
+        bank = jnp.asarray(rng.standard_normal((nb, 512)), jnp.float32)
+        bank = bank / jnp.linalg.norm(bank, axis=1, keepdims=True)
+
+        def mk(fn):
+            def make(chain):
+                @jax.jit
+                def f(qv, bank):
+                    accs = None
+                    acci = None
+                    for i in range(chain):
+                        s_, i_ = fn(jnp.roll(qv, i, axis=0), bank, 100)
+                        accs = s_ if accs is None else accs + s_
+                        acci = i_ if acci is None else acci + i_
+                    return accs, acci
+                return lambda: f(qv, bank)
+            return make
+
+        t_x = _slope_time(mk(topk_ip), c_lo=4, c_hi=16)
+        t_p = _slope_time(mk(topk_ip_pallas), c_lo=4, c_hi=16)
+        print(f"  {nq}q x {nb}: XLA {t_x*1e3:.2f}ms ({nq/t_x:.0f} q/s) | "
+              f"pallas-gated {t_p*1e3:.2f}ms ({nq/t_p:.0f} q/s)")
+
+
+def exp_attnpath():
+    """Model-style attention call (split fused qkv -> qknorm -> rope ->
+    flash -> output transpose) vs the bare kernel: how much do the
+    surroundings cost per layer?"""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    cfg = flux.FLUX_DEV
+    seq, h, hd, heads = 4608, 3072, 128, 24
+    qkv = jnp.asarray(rng.standard_normal((1, seq, 3 * h)), jnp.bfloat16)
+    scale_q = jnp.ones((hd,), jnp.float32)
+    scale_k = jnp.ones((hd,), jnp.float32)
+    ids = np.concatenate([flux.make_text_ids(512),
+                          flux.make_image_ids(64, 64)])
+    cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
+    cos, sin = cos[None, None], sin[None, None]
+    qq = jnp.asarray(rng.standard_normal((1, heads, seq, hd)), jnp.bfloat16)
+
+    def full_path(x):
+        q, k, v = flux._split_qkv(x, heads, hd)
+        q = flux.rmsnorm({"scale": scale_q}, q)
+        k = flux.rmsnorm({"scale": scale_k}, k)
+        q = flux.apply_rope(q, cos, sin)
+        k = flux.apply_rope(k, cos, sin)
+        out = flash_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(1, seq, heads * hd)
+        # feed back into qkv shape to chain
+        return jnp.concatenate([out, out, out], axis=-1)
+
+    def mk(fn, x0):
+        def make(chain):
+            @jax.jit
+            def f(x):
+                for _ in range(chain):
+                    x = fn(x)
+                return x
+            return lambda: f(x0)
+        return make
+
+    t_full = _slope_time(mk(full_path, qkv), c_lo=4, c_hi=16)
+    t_bare = _slope_time(mk(lambda y: flash_attention(y, y, y), qq),
+                         c_lo=4, c_hi=16)
+    print("== attention path overhead (per layer, slope) ==")
+    print(f"  model-style full path: {t_full*1e3:.2f} ms | bare kernel: "
+          f"{t_bare*1e3:.2f} ms | surroundings: "
+          f"{(t_full-t_bare)*1e3:.2f} ms")
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
@@ -516,6 +671,14 @@ def main():
         exp_gemm()
     if "gemm2" in which:
         exp_gemm2()
+    if "flash2" in which:
+        exp_flash2()
+    if "flash3" in which:
+        exp_flash3()
+    if "topk2" in which:
+        exp_topk2()
+    if "attnpath" in which:
+        exp_attnpath()
     if "insitu" in which:
         exp_insitu()
     if "all" in which or "w8a8" in which:
