@@ -52,7 +52,8 @@ def _build_cfg(args) -> PipelineConfig:
     # (ADVICE r2): PP serves unsharded per-stage blocks, so it composes
     # with neither block caching nor TP
     pp = getattr(args, "pipeline_parallel", 1)
-    if pp > 1 and getattr(args, "block_cache_interval", 1) > 1:
+    bci = getattr(args, "block_cache_interval", 1)
+    if pp > 1 and (bci == "auto" or bci > 1):
         raise SystemExit(
             "--pipeline_parallel and --block_cache_interval are mutually "
             "exclusive (block caching is not implemented on the pipelined "
@@ -166,7 +167,8 @@ def _add_common(p: argparse.ArgumentParser):
                         "(NWPU: 3/5/10/20, Camouflage: 1/2/3/5, else 1/5/10)")
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the run here")
-    p.add_argument("--block_cache_interval", type=int, default=1,
+    p.add_argument("--block_cache_interval", default=1,
+                   type=lambda v: v if v == "auto" else int(v),
                    help="EXPERIMENTAL: block-residual caching — blocks "
                         "recompute every N denoise steps, residuals "
                         "replay in between (~1.5x at 2, outputs change; "
@@ -175,7 +177,9 @@ def _add_common(p: argparse.ArgumentParser):
                         "per 1024 px sample on the 12B) ON TOP of weights "
                         "— batching 5 ranks with int8 12B weights exceeds "
                         "one 16 GB v5e. Incompatible with "
-                        "--pipeline_parallel")
+                        "--pipeline_parallel. 'auto' calibrates the "
+                        "largest interval within a pinned latent-"
+                        "divergence budget at first use")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

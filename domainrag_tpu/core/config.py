@@ -157,7 +157,9 @@ class FluxSamplingConfig:
     # EXPERIMENTAL block-residual caching: blocks recompute every N steps
     # and replay residuals in between (~1.5x at 2; outputs change —
     # BENCH_NOTES.md). 1 = exact.
-    block_cache_interval: int = 1
+    # int interval, or "auto" (calibrate the largest interval within a
+    # pinned latent-divergence budget at first use — flux/pipeline.py)
+    block_cache_interval: object = 1
 
 
 @dataclass(frozen=True)

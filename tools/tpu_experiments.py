@@ -661,6 +661,86 @@ def exp_attnpath():
           f"{(t_full-t_bare)*1e3:.2f} ms")
 
 
+def exp_insitu2():
+    """Ablation depth-slope: where do the non-GEMM, non-attention ~170 ms
+    of the step go? Patch one elementwise family to identity at a time
+    and re-measure the per-block depth slope."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_proxy
+
+    grid, s_txt = 64, 512
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    tt = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+    n_chain = 4
+
+    def time_cfg(nd, ns):
+        cfg, params = build_proxy(nd, ns)
+        img = jnp.asarray(rng.standard_normal(
+            (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+
+        @jax.jit
+        def f(params, x):
+            y = x
+            for _ in range(n_chain):
+                y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                               txt_ids, cfg, guidance=g
+                               ).astype(jnp.bfloat16)[:, :, :cfg.in_channels]
+            return y
+        t = _timeit_total(lambda: f(params, img)) / n_chain
+        del params
+        return t
+
+    def slopes():
+        r = {}
+        for nd, ns in [(2, 4), (6, 4), (2, 12)]:
+            r[(nd, ns)] = time_cfg(nd, ns)
+        return ((r[(6, 4)] - r[(2, 4)]) / 4,
+                (r[(2, 12)] - r[(2, 4)]) / 8)
+
+    orig = dict(gelu=flux.gelu_tanh, ln=flux._ln_no_affine,
+                mod=flux._modulate, rope=flux.apply_rope,
+                qknorm=flux._qknorm)
+    ablations = {
+        "full": {},
+        "no-gelu": {"gelu_tanh": lambda x: x},
+        "no-lnmod": {"_ln_no_affine": lambda x, eps=1e-6: x,
+                     "_modulate": lambda x, sh, sc: x},
+        "no-rope": {"apply_rope": lambda x, c, s: x},
+        "no-qknorm": {"_qknorm": lambda p, q, k: (q, k)},
+    }
+    print("== in-situ ablation depth-slopes (per block) ==")
+    base = None
+    for name, patch in ablations.items():
+        for attr, fn in patch.items():
+            setattr(flux, attr, fn)
+        try:
+            pd, ps = slopes()
+        finally:
+            flux.gelu_tanh = orig["gelu"]
+            flux._ln_no_affine = orig["ln"]
+            flux._modulate = orig["mod"]
+            flux.apply_rope = orig["rope"]
+            flux._qknorm = orig["qknorm"]
+        if name == "full":
+            base = (pd, ps)
+            print(f"  {name}: double {pd*1e3:.2f} ms | single "
+                  f"{ps*1e3:.2f} ms | 19d+38s {19*pd*1e3+38*ps*1e3:.0f} ms")
+        else:
+            print(f"  {name}: double {pd*1e3:.2f} ms (d {1e3*(base[0]-pd):+.2f}) "
+                  f"| single {ps*1e3:.2f} ms (d {1e3*(base[1]-ps):+.2f}) "
+                  f"| 57-layer share "
+                  f"{(19*(base[0]-pd)+38*(base[1]-ps))*1e3:.0f} ms")
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
@@ -679,6 +759,8 @@ def main():
         exp_topk2()
     if "attnpath" in which:
         exp_attnpath()
+    if "insitu2" in which:
+        exp_insitu2()
     if "insitu" in which:
         exp_insitu()
     if "all" in which or "w8a8" in which:
