@@ -88,7 +88,9 @@ def _build_cfg(args) -> PipelineConfig:
         process_id=str(args.process_id),
         worker_id=args.worker_id,
         num_workers=args.num_workers,
-        generate=GenerateConfig(sampling=sampling, redux=ReduxConfig()),
+        generate=GenerateConfig(sampling=sampling, redux=ReduxConfig(),
+                                max_rank_batch=getattr(
+                                    args, "max_rank_batch", None)),
         compose=compose,
         mesh=MeshConfig(
             model_parallel_size=getattr(args, "model_parallel", 1),
@@ -180,6 +182,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "--pipeline_parallel. 'auto' calibrates the "
                         "largest interval within a pinned latent-"
                         "divergence budget at first use")
+    p.add_argument("--max_rank_batch", type=int, default=None,
+                   help="single-chip HBM ceiling: denoise a sample's "
+                        "ranks in chunks of N (int8 12B on one 16 GB "
+                        "v5e fits N<=4 measured; default: no chunking)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

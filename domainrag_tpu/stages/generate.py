@@ -134,20 +134,33 @@ class GenerateStage:
         os.makedirs(sample_dir, exist_ok=True)
         with timer.span("prior"):
             embeds, pooleds = self._priors_for_sample(refs, target_path)
-        with timer.span("denoise"):
-            images = flux_pipeline.generate(
-                self.bundle, embeds, pooleds, height=s.height,
+
+        def run(e, p, n):
+            out = flux_pipeline.generate(
+                self.bundle, e, p, height=s.height,
                 width=s.width, num_steps=s.num_steps,
                 guidance=s.guidance_scale,
-                seed=[s.seed] * len(refs),
+                seed=[s.seed] * n,
                 scheduler_overrides={
                     "use_dynamic_shifting": s.use_dynamic_shifting,
                     "base_shift": s.base_shift, "max_shift": s.max_shift},
                 mesh=pipe_mesh,
                 pipe_axis=pipe_axis if pipe_mesh is not None else None,
                 block_cache_interval=getattr(s, "block_cache_interval", 1))
-        if images.ndim == 3:
-            images = images[None]
+            return out[None] if out.ndim == 3 else out
+
+        mb = getattr(self.cfg, "max_rank_batch", None)
+        with timer.span("denoise"):
+            if mb and pipe_mesh is None and len(refs) > mb:
+                # single-chip HBM ceiling (measured batch<=4 with the
+                # int8 12B on a 16 GB v5e): denoise the ranks in chunks
+                # through the same compiled core
+                images = np.concatenate([
+                    run(embeds[i:i + mb], pooleds[i:i + mb],
+                        min(mb, len(refs) - i))
+                    for i in range(0, len(refs), mb)])
+            else:
+                images = run(embeds, pooleds, len(refs))
 
         out_paths = []
         with timer.span("save"):

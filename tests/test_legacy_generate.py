@@ -146,3 +146,35 @@ def test_kshot_process_dataset_writes_batch_params(tmp_path):
     assert "num_samples: 1" in text
     assert "succeeded_samples: 1" in text
     assert "total_generated_images: 1" in text
+
+
+def test_max_rank_batch_chunks_equal_unchunked(tmp_path):
+    """Rank chunking (single-chip HBM ceiling) produces the same images
+    as the one-batch denoise."""
+    rng = np.random.default_rng(1)
+    target = tmp_path / "t.png"
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+                    ).save(target)
+    refs = []
+    for i in range(3):
+        p = tmp_path / f"r{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+                        ).save(p)
+        refs.append({"image_path": str(p), "rank": i + 1,
+                     "similarity": 0.9 - 0.1 * i})
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(0))
+    base = GenerateConfig(
+        sampling=FluxSamplingConfig(num_steps=2, height=32, width=32,
+                                    seed=0),
+        redux=ReduxConfig(), top_ranks=3)
+    import dataclasses
+    chunked = dataclasses.replace(base, max_rank_batch=2)
+    d1, d2 = tmp_path / "one", tmp_path / "two"
+    gen.GenerateStage(bundle, base).generate_sample(
+        "s", str(target), refs, str(d1))
+    gen.GenerateStage(bundle, chunked).generate_sample(
+        "s", str(target), refs, str(d2))
+    for r in (1, 2, 3):
+        a = np.asarray(Image.open(d1 / f"generated_image_rank{r}.png"))
+        b = np.asarray(Image.open(d2 / f"generated_image_rank{r}.png"))
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
