@@ -185,7 +185,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max_rank_batch", type=int, default=None,
                    help="single-chip HBM ceiling: denoise a sample's "
                         "ranks in chunks of N (int8 12B on one 16 GB "
-                        "v5e fits N<=4 measured; default: no chunking)")
+                        "v5e fits N=2 measured, 4+ crash; default: no chunking)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

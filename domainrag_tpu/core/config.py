@@ -181,8 +181,8 @@ class GenerateConfig:
     redux: ReduxConfig = field(default_factory=ReduxConfig)
     top_ranks: int = 5               # ranks 1..5 (ref :996-999,1288-1303)
     # single-chip HBM ceiling for the batched-rank denoise: the 12B int8
-    # weights (~12 GB) plus per-rank activations fit batch<=4 on a 16 GB
-    # v5e (batch 5 crashes the worker — measured, BENCH_NOTES round 3);
+    # weights (~12 GB) plus per-rank activations fit batch 2 on a 16 GB
+    # v5e (batches 4 and 5 crash the worker — measured, BENCH_NOTES r3);
     # None = denoise all ranks in one batch (multi-chip meshes shard the
     # batch instead and need no chunking)
     max_rank_batch: object = None

@@ -152,7 +152,7 @@ class GenerateStage:
         mb = getattr(self.cfg, "max_rank_batch", None)
         with timer.span("denoise"):
             if mb and pipe_mesh is None and len(refs) > mb:
-                # single-chip HBM ceiling (measured batch<=4 with the
+                # single-chip HBM ceiling (measured batch 2 ok, 4+ crash with the
                 # int8 12B on a 16 GB v5e): denoise the ranks in chunks
                 # through the same compiled core
                 images = np.concatenate([
