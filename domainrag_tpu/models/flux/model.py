@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.attention import attention
+from ...ops.mmdit_attention import (mmdit_double_attention,
+                                    mmdit_single_attention)
 from ..common import (Params, gelu_tanh, linear, linear_init, rmsnorm,
                       rmsnorm_init)
 
@@ -201,7 +203,6 @@ def _qknorm(p: Params, q, k):
 
 def _double_block(p: Params, img, txt, vec, cos, sin, cfg: FluxConfig):
     heads, hd = cfg.heads, cfg.head_dim
-    t_len = txt.shape[1]
     vec_act = jax.nn.silu(vec)
     img_mod = linear(p["img_mod"], vec_act)
     txt_mod = linear(p["txt_mod"], vec_act)
@@ -213,21 +214,13 @@ def _double_block(p: Params, img, txt, vec, cos, sin, cfg: FluxConfig):
     img_in = _modulate(_ln_no_affine(img), i_shift1, i_scale1)
     txt_in = _modulate(_ln_no_affine(txt), t_shift1, t_scale1)
 
-    iq, ik, iv = _split_qkv(linear(p["img_qkv"], img_in), heads, hd)
-    tq, tk, tv = _split_qkv(linear(p["txt_qkv"], txt_in), heads, hd)
-    iq, ik = _qknorm(p["img_qknorm"], iq, ik)
-    tq, tk = _qknorm(p["txt_qknorm"], tq, tk)
-
-    # joint sequence: text first, then image (BFL order)
-    q = jnp.concatenate([tq, iq], axis=2)
-    k = jnp.concatenate([tk, ik], axis=2)
-    v = jnp.concatenate([tv, iv], axis=2)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    out = attention(q, k, v)                       # (B, H, S, hd)
-    out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], -1,
-                                            heads * hd)
-    txt_attn, img_attn = out[:, :t_len], out[:, t_len:]
+    # joint [txt; img] attention (BFL order) over the raw fused qkv GEMM
+    # outputs — ops.mmdit_attention fuses the head split, qk-rmsnorm,
+    # RoPE, and joint softmax in (B, S, H*d) layout (falls back to the
+    # unfused composition off-TPU / under TP/SP)
+    txt_attn, img_attn = mmdit_double_attention(
+        linear(p["txt_qkv"], txt_in), linear(p["img_qkv"], img_in),
+        p["txt_qknorm"], p["img_qknorm"], cos, sin, heads, hd)
 
     img = img + i_gate1[:, None, :] * linear(p["img_proj"], img_attn)
     txt = txt + t_gate1[:, None, :] * linear(p["txt_proj"], txt_attn)
@@ -247,13 +240,9 @@ def _single_block(p: Params, x, vec, cos, sin, cfg: FluxConfig):
     shift, scale, gate = jnp.split(mod, 3, axis=-1)
     x_in = _modulate(_ln_no_affine(x), shift, scale)
     proj = linear(p["linear1"], x_in)
-    qkv, mlp_h = proj[..., :3 * h], proj[..., 3 * h:]
-    q, k, v = _split_qkv(qkv, heads, hd)
-    q, k = _qknorm(p["qknorm"], q, k)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    out = attention(q, k, v)
-    out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, heads * hd)
+    mlp_h = proj[..., 3 * h:]
+    # fused attention reads q/k/v straight from proj's first 3h lanes
+    out = mmdit_single_attention(proj, p["qknorm"], cos, sin, heads, hd)
     combined = jnp.concatenate([out, gelu_tanh(mlp_h)], axis=-1)
     return x + gate[:, None, :] * linear(p["linear2"], combined)
 

@@ -741,6 +741,195 @@ def exp_insitu2():
                   f"{(19*(base[0]-pd)+38*(base[1]-ps))*1e3:.0f} ms")
 
 
+def exp_mmdit():
+    """Fused MMDiT attention (ops.mmdit_attention) vs the unfused model
+    composition at the real 1024 px Flux shape (24 heads, 512 txt +
+    4096 img). On-chip parity check first (Mosaic numerics, not just the
+    interpreter), then depth slopes for the double and single variants."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    s_txt, s_img = 512, 4096
+    cfg = flux.FLUX_DEV
+    ids = np.concatenate([flux.make_text_ids(s_txt),
+                          flux.make_image_ids(64, 64)])
+    cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
+
+    def qknorm():
+        return {"q": {"scale": jnp.asarray(
+                    rng.uniform(0.5, 1.5, (hd,)), jnp.float32)},
+                "k": {"scale": jnp.asarray(
+                    rng.uniform(0.5, 1.5, (hd,)), jnp.float32)}}
+
+    tn, inorm = qknorm(), qknorm()
+    txt_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_txt, 3 * h)),
+                          jnp.bfloat16)
+    img_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_img, 3 * h)),
+                          jnp.bfloat16)
+    proj = jnp.asarray(0.3 * rng.standard_normal((1, s_txt + s_img, 7 * h)),
+                       jnp.bfloat16)
+
+    # --- parity on chip ---
+    @jax.jit
+    def both_double(tq, iq):
+        ft, fi = mma.mmdit_double_attention(tq, iq, tn, inorm, cos, sin,
+                                            heads, hd)
+        rt, ri = mma._reference_double(
+            tq, iq, tn["q"]["scale"], tn["k"]["scale"],
+            inorm["q"]["scale"], inorm["k"]["scale"], cos, sin, heads, hd)
+        err = lambda a, b: jnp.max(jnp.abs(  # noqa: E731
+            a.astype(jnp.float32) - b.astype(jnp.float32)))
+        return jnp.maximum(err(ft, rt), err(fi, ri))
+
+    @jax.jit
+    def both_single(p):
+        f = mma.mmdit_single_attention(p, tn, cos, sin, heads, hd)
+        r = mma._reference_single(p, tn["q"]["scale"], tn["k"]["scale"],
+                                  cos, sin, heads, hd)
+        return jnp.max(jnp.abs(f.astype(jnp.float32)
+                               - r.astype(jnp.float32)))
+
+    print("== fused MMDiT attention: on-chip parity ==")
+    print(f"  double max|fused-unfused|: {float(both_double(txt_qkv, img_qkv)):.4f}")
+    print(f"  single max|fused-unfused|: {float(both_single(proj)):.4f}")
+
+    # --- depth slopes ---
+    def chain_double(fn):
+        def make(chain):
+            @jax.jit
+            def f(tq, iq):
+                for _ in range(chain):
+                    t, i = fn(tq, iq)
+                    tq = jnp.concatenate([t, t, t], axis=-1)
+                    iq = jnp.concatenate([i, i, i], axis=-1)
+                return tq
+            return lambda: f(txt_qkv, img_qkv)
+        return make
+
+    def chain_single(fn):
+        def make(chain):
+            @jax.jit
+            def f(p):
+                for _ in range(chain):
+                    o = fn(p)
+                    p = jnp.tile(o, (1, 1, 7))
+                return p
+            return lambda: f(proj)
+        return make
+
+    fused_d = chain_double(lambda tq, iq: mma.mmdit_double_attention(
+        tq, iq, tn, inorm, cos, sin, heads, hd))
+    ref_d = chain_double(lambda tq, iq: mma._reference_double(
+        tq, iq, tn["q"]["scale"], tn["k"]["scale"], inorm["q"]["scale"],
+        inorm["k"]["scale"], cos, sin, heads, hd))
+    fused_s = chain_single(lambda p: mma.mmdit_single_attention(
+        p, tn, cos, sin, heads, hd))
+    ref_s = chain_single(lambda p: mma._reference_single(
+        p, tn["q"]["scale"], tn["k"]["scale"], cos, sin, heads, hd))
+
+    print("== fused MMDiT attention: per-layer slope (ms) ==")
+    td_f = _slope_time(fused_d, c_lo=4, c_hi=16)
+    td_r = _slope_time(ref_d, c_lo=4, c_hi=16)
+    ts_f = _slope_time(fused_s, c_lo=4, c_hi=16)
+    ts_r = _slope_time(ref_s, c_lo=4, c_hi=16)
+    print(f"  double: fused {td_f*1e3:.2f} | unfused {td_r*1e3:.2f} "
+          f"| delta {1e3*(td_r-td_f):+.2f}")
+    print(f"  single: fused {ts_f*1e3:.2f} | unfused {ts_r*1e3:.2f} "
+          f"| delta {1e3*(ts_r-ts_f):+.2f}")
+    print(f"  57-layer step delta: "
+          f"{(19*(td_r-td_f) + 38*(ts_r-ts_f))*1e3:.0f} ms")
+
+
+def exp_mmditsitu():
+    """End-to-end in-situ check of the fused MMDiT attention: run the
+    proxy flux.apply on the chip with the fused path engaged vs
+    monkeypatched to the unfused composition — parity on the real model
+    surface + the in-situ per-block depth slopes."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_proxy
+
+    grid, s_txt = 64, 512
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    tt = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+
+    def run_once(nd, ns, chain):
+        cfg, params = build_proxy(nd, ns)
+        img = jnp.asarray(rng.standard_normal(
+            (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+
+        @jax.jit
+        def f(params, x):
+            def body(y, _):
+                y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                               txt_ids, cfg, guidance=g
+                               ).astype(jnp.bfloat16)[:, :, :cfg.in_channels]
+                return y, None
+            # scan: ONE compiled body regardless of chain length (the
+            # unrolled variant cost ~4x the remote-compile time)
+            return jax.lax.scan(body, x, None, length=chain)[0]
+        out = f(params, img)
+        t = _timeit_total(lambda: f(params, img)) / chain
+        val = np.asarray(out, np.float32)
+        del params
+        return t, val
+
+    def ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin, heads, hd,
+                   interpret=False):
+        c, s = mma._squeeze_tables(cos, sin)
+        return mma._reference_double(
+            txt_qkv, img_qkv, tn["q"]["scale"], tn["k"]["scale"],
+            inorm["q"]["scale"], inorm["k"]["scale"], c, s, heads, hd)
+
+    def ref_single(proj, qn, cos, sin, heads, hd, interpret=False):
+        c, s = mma._squeeze_tables(cos, sin)
+        return mma._reference_single(proj, qn["q"]["scale"],
+                                     qn["k"]["scale"], c, s, heads, hd)
+
+    results = {}
+    for mode in ("fused", "unfused"):
+        if mode == "unfused":
+            flux.mmdit_double_attention = ref_double
+            flux.mmdit_single_attention = ref_single
+        try:
+            r = {}
+            for nd, ns, chain in [(2, 4, 4), (6, 4, 4), (2, 12, 4)]:
+                t, val = run_once(nd, ns, chain)
+                r[(nd, ns)] = (t, val)
+            results[mode] = r
+        finally:
+            flux.mmdit_double_attention = mma.mmdit_double_attention
+            flux.mmdit_single_attention = mma.mmdit_single_attention
+
+    print("== fused MMDiT in-situ (proxy flux.apply, real chip) ==")
+    for key in [(2, 4), (6, 4), (2, 12)]:
+        vf = results["fused"][key][1]
+        vr = results["unfused"][key][1]
+        print(f"  cfg {key}: max|fused-unfused| = "
+              f"{np.max(np.abs(vf - vr)):.4f} "
+              f"(scale {np.max(np.abs(vr)):.2f})")
+    for mode in ("fused", "unfused"):
+        r = results[mode]
+        pd = (r[(6, 4)][0] - r[(2, 4)][0]) / 4
+        ps = (r[(2, 12)][0] - r[(2, 4)][0]) / 8
+        print(f"  {mode}: double {pd*1e3:.2f} ms/blk | single "
+              f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
@@ -759,6 +948,10 @@ def main():
         exp_topk2()
     if "attnpath" in which:
         exp_attnpath()
+    if "mmdit" in which:
+        exp_mmdit()
+    if "mmditsitu" in which:
+        exp_mmditsitu()
     if "insitu2" in which:
         exp_insitu2()
     if "insitu" in which:
