@@ -101,11 +101,10 @@ class GenerateStage:
             pooled_prompt_embeds_scale=[r.ref_text_scale,
                                         r.target_text_scale])
 
-    def _priors_for_sample(self, refs: List[dict], target_path: str):
-        """All ranks' (ref, target) priors in ONE batched tower forward
-        with the shared target encoded once (K+1 SigLIP images instead of
-        2K — the target tower ran per rank in the reference,
-        batch_generate_flux_kshot.py:996-1005)."""
+    def _prior_inputs(self, refs: List[dict], target_path: str):
+        """Host-side half of the prior: PIL decode + SigLIP preprocess of
+        the sample's unique images. Pure host work — safe to run in a
+        prefetch thread while the device denoises the previous sample."""
         size = self.bundle.siglip_cfg.image_size
         unique = np.stack(
             [imaging.siglip_preprocess(imaging.load_rgb(r["image_path"]),
@@ -114,6 +113,16 @@ class GenerateStage:
                                          size)])
         k = len(refs)
         pair_idx = np.stack([np.arange(k), np.full(k, k)], axis=1)
+        return unique, pair_idx
+
+    def _priors_for_sample(self, refs: List[dict], target_path: str,
+                           prior_inputs=None):
+        """All ranks' (ref, target) priors in ONE batched tower forward
+        with the shared target encoded once (K+1 SigLIP images instead of
+        2K — the target tower ran per rank in the reference,
+        batch_generate_flux_kshot.py:996-1005)."""
+        unique, pair_idx = (prior_inputs if prior_inputs is not None
+                            else self._prior_inputs(refs, target_path))
         r = self.cfg.redux
         return flux_pipeline.redux_prior_pairs_indexed(
             self.bundle, unique, pair_idx, r.prompt,
@@ -124,16 +133,23 @@ class GenerateStage:
     def generate_sample(self, sample_id: str, target_path: str,
                         refs: List[dict], sample_dir: str,
                         timer: Optional[StepTimer] = None,
-                        pipe_mesh=None, pipe_axis: str = "pipe"
-                        ) -> List[str]:
+                        pipe_mesh=None, pipe_axis: str = "pipe",
+                        prior_inputs=None, writer=None):
         """All ranks of one sample in one batched denoise. Returns the
         written image paths. With ``pipe_mesh``, the transformer depth is
-        pipelined over its ``pipe_axis`` (parallel/pipeline_parallel)."""
+        pipelined over its ``pipe_axis`` (parallel/pipeline_parallel).
+
+        ``prior_inputs``: precomputed :meth:`_prior_inputs` (lets the
+        caller prefetch the host-side PIL work). ``writer``: an executor —
+        when given, the PNG/provenance writes run there and a Future of
+        the written paths is returned instead of the list, so the caller
+        can dispatch the next sample while this one's artifacts encode."""
         timer = timer or StepTimer()
         s = self.cfg.sampling
         os.makedirs(sample_dir, exist_ok=True)
         with timer.span("prior"):
-            embeds, pooleds = self._priors_for_sample(refs, target_path)
+            embeds, pooleds = self._priors_for_sample(refs, target_path,
+                                                      prior_inputs)
 
         def run(e, p, n):
             out = flux_pipeline.generate(
@@ -162,13 +178,18 @@ class GenerateStage:
             else:
                 images = run(embeds, pooleds, len(refs))
 
-        out_paths = []
-        with timer.span("save"):
+        def save():
+            out_paths = []
             for ref, img in zip(refs, images):
                 out_paths.append(_write_rank_artifacts(
                     sample_dir, ref, target_path, img))
             _write_sample_provenance(sample_dir, target_path, self.cfg)
-        return out_paths
+            return out_paths
+
+        if writer is not None:
+            return writer.submit(save)
+        with timer.span("save"):
+            return save()
 
 
 def _write_rank_artifacts(sample_dir: str, ref: dict, target_path: str,
@@ -440,44 +461,105 @@ def process_dataset(stage: GenerateStage, dataset: str, shot: int,
     else:
         groups = [[item] for item in items]
 
-    for group in groups:
-        if should_stop():
-            logger.warning("graceful stop requested during generate")
-            break
-        start = time.perf_counter()
-        try:
-            if mesh is not None:
+    size_key = (f"{stage.cfg.sampling.width}x"
+                f"{stage.cfg.sampling.height}")
+
+    def _mark_done(group, paths_by_sample, elapsed):
+        nonlocal total_images
+        for item in group:
+            paths = paths_by_sample.get(item["sample_id"], [])
+            counters["processed"] += 1
+            total_images += len(paths)
+            image_sizes[size_key] = image_sizes.get(size_key, 0) \
+                + len(paths)
+            manifest.mark(item["sample_id"], STATUS_DONE,
+                          outputs={"images": paths}, elapsed_s=elapsed)
+            reporter.update(ok=True, detail=item["sample_id"])
+
+    def _mark_failed(group, e):
+        logger.exception("generation failed for group %s",
+                         [i["sample_id"] for i in group])
+        for item in group:
+            os.makedirs(item["sample_dir"], exist_ok=True)
+            with open(os.path.join(item["sample_dir"],
+                                   "generation_failed.txt"), "w") as f:
+                f.write(str(e))
+            counters["failed"] += 1
+            manifest.mark(item["sample_id"], STATUS_FAILED, error=str(e))
+            reporter.update(ok=False, detail=item["sample_id"])
+
+    if mesh is not None:
+        for group in groups:
+            if should_stop():
+                logger.warning("graceful stop requested during generate")
+                break
+            start = time.perf_counter()
+            try:
                 paths_by_sample = generate_samples_dp(stage, group, mesh)
-            else:
+                elapsed = (time.perf_counter() - start) / max(len(group), 1)
+                _mark_done(group, paths_by_sample, elapsed)
+            except Exception as e:
+                _mark_failed(group, e)
+    else:
+        # Pipelined single-chip / PP loop (round-2 review item 7): on one
+        # chip the prior/denoise/decode executables serialize on the
+        # TensorCore, so the winnable overlap is HOST work on both sides
+        # of the device queue — the next sample's PIL decode + SigLIP
+        # preprocessing runs in a prefetch thread, and the previous
+        # sample's PNG/provenance writes run in a writer thread, while
+        # the device denoises the current one. The reference ran all of
+        # this synchronously between GPU calls (ref :996-1058).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..core.prefetch import PrefetchError
+        from ..core.prefetch import prefetch as _prefetch
+
+        def _resolve(entry):
+            group, start, fut = entry
+            try:
+                paths = fut.result()
+                _mark_done(group, {group[0]["sample_id"]: paths},
+                           time.perf_counter() - start)
+            except Exception as e:
+                _mark_failed(group, e)
+
+        pending: List[tuple] = []
+        writer = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="gen-writer")
+        prior_stream = _prefetch(
+            groups,
+            lambda g: (g, stage._prior_inputs(g[0]["refs"],
+                                              g[0]["target_path"])),
+            depth=2)
+        try:
+            for got in prior_stream:
+                if should_stop():
+                    logger.warning(
+                        "graceful stop requested during generate")
+                    break
+                if isinstance(got, PrefetchError):
+                    _mark_failed(got.item, got.__cause__ or got)
+                    continue
+                group, prior_inputs = got
                 item = group[0]
-                paths_by_sample = {item["sample_id"]: stage.generate_sample(
-                    item["sample_id"], item["target_path"], item["refs"],
-                    item["sample_dir"], pipe_mesh=pipe_mesh,
-                    pipe_axis=pipe_axis)}
-            elapsed = (time.perf_counter() - start) / max(len(group), 1)
-            for item in group:
-                paths = paths_by_sample.get(item["sample_id"], [])
-                counters["processed"] += 1
-                total_images += len(paths)
-                size_key = (f"{stage.cfg.sampling.width}x"
-                            f"{stage.cfg.sampling.height}")
-                image_sizes[size_key] = image_sizes.get(size_key, 0) \
-                    + len(paths)
-                manifest.mark(item["sample_id"], STATUS_DONE,
-                              outputs={"images": paths}, elapsed_s=elapsed)
-                reporter.update(ok=True, detail=item["sample_id"])
-        except Exception as e:
-            logger.exception("generation failed for group %s",
-                             [i["sample_id"] for i in group])
-            for item in group:
-                os.makedirs(item["sample_dir"], exist_ok=True)
-                with open(os.path.join(item["sample_dir"],
-                                       "generation_failed.txt"), "w") as f:
-                    f.write(str(e))
-                counters["failed"] += 1
-                manifest.mark(item["sample_id"], STATUS_FAILED,
-                              error=str(e))
-                reporter.update(ok=False, detail=item["sample_id"])
+                start = time.perf_counter()
+                try:
+                    fut = stage.generate_sample(
+                        item["sample_id"], item["target_path"],
+                        item["refs"], item["sample_dir"],
+                        pipe_mesh=pipe_mesh, pipe_axis=pipe_axis,
+                        prior_inputs=prior_inputs, writer=writer)
+                except Exception as e:
+                    _mark_failed(group, e)
+                    continue
+                pending.append((group, start, fut))
+                while len(pending) > 1:
+                    _resolve(pending.pop(0))
+        finally:
+            prior_stream.close()
+            for entry in pending:
+                _resolve(entry)
+            writer.shutdown(wait=True)
     if mig_stats is not None:
         logger.warning("%s %d_shot %s", dataset, shot, mig_stats.summary())
         counters["fuzzy_hits"] = mig_stats.fuzzy
