@@ -52,11 +52,16 @@ def main() -> None:
                          jnp.bfloat16)
     txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
 
-    def denoise(latents, grid, interval):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def make_run(grid, interval):
+        """ONE compiled denoise per (grid, interval) — defining the jit
+        inside denoise() recompiled the 28-step graph for every seed."""
         img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
         schedule = sched.make_schedule(steps, image_seq_len=grid * grid)
         sigmas = jnp.asarray(schedule.sigmas)
-        b = latents.shape[0]
+        b = 1
 
         @jax.jit
         def run(params, latents):
@@ -83,7 +88,11 @@ def main() -> None:
                 return sched.euler_step(x, v, sigma, sigmas[i + 1]), cache
             out, _ = jax.lax.fori_loop(0, steps, body, (latents, cache))
             return out
-        return np.asarray(run(params, latents), np.float32)
+        return run
+
+    def denoise(latents, grid, interval):
+        return np.asarray(make_run(grid, interval)(params, latents),
+                          np.float32)
 
     results = []
     for grid in grids:

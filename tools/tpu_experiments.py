@@ -845,6 +845,78 @@ def exp_mmdit():
           f"{(19*(td_r-td_f) + 38*(ts_r-ts_f))*1e3:.0f} ms")
 
 
+def exp_mmdithires():
+    """Fused MMDiT attention at the FILL-regime sequence lengths
+    (8448 and 16896 tokens): does the one-pass joint kernel compile
+    inside the 100 MB VMEM budget, does it match, and is it still faster
+    than the unfused composition?"""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    cfg = flux.FLUX_DEV
+
+    for s_img, grid in [(7936, None), (16384, 128)]:
+        s_txt = 512
+        if grid is None:
+            ids = np.concatenate([
+                flux.make_text_ids(s_txt),
+                flux.make_image_ids(62, 128)])           # 7936 tokens
+        else:
+            ids = np.concatenate([flux.make_text_ids(s_txt),
+                                  flux.make_image_ids(grid, grid)])
+        cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim,
+                                     cfg.theta)
+        wq = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+        wk = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+        qn = {"q": {"scale": wq}, "k": {"scale": wk}}
+        txt_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_txt, 3 * h)),
+                              jnp.bfloat16)
+        img_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_img, 3 * h)),
+                              jnp.bfloat16)
+
+        @jax.jit
+        def parity(tq, iq):
+            ft, fi = mma.mmdit_double_attention(tq, iq, qn, qn, cos, sin,
+                                                heads, hd)
+            rt, ri = mma._reference_double(tq, iq, wq, wk, wq, wk,
+                                           cos, sin, heads, hd)
+            err = lambda a, b: jnp.max(jnp.abs(  # noqa: E731
+                a.astype(jnp.float32) - b.astype(jnp.float32)))
+            return jnp.maximum(err(ft, rt), err(fi, ri))
+
+        try:
+            e = float(parity(txt_qkv, img_qkv))
+            print(f"  double {s_txt}+{s_img}: parity {e:.4f}", flush=True)
+        except Exception as ex:
+            print(f"  double {s_txt}+{s_img}: FAILED {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
+            continue
+
+        def chain(fn):
+            def make(c):
+                @jax.jit
+                def f(tq, iq):
+                    for _ in range(c):
+                        t, i = fn(tq, iq)
+                        tq = jnp.concatenate([t, t, t], axis=-1)
+                        iq = jnp.concatenate([i, i, i], axis=-1)
+                    return tq
+                return lambda: f(txt_qkv, img_qkv)
+            return make
+
+        tf_ = _slope_time(chain(lambda tq, iq: mma.mmdit_double_attention(
+            tq, iq, qn, qn, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        tr = _slope_time(chain(lambda tq, iq: mma._reference_double(
+            tq, iq, wq, wk, wq, wk, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        print(f"  double {s_txt}+{s_img}: fused {tf_*1e3:.2f} ms | "
+              f"unfused {tr*1e3:.2f} ms", flush=True)
+
+
 def exp_mmditsitu():
     """End-to-end in-situ check of the fused MMDiT attention: run the
     proxy flux.apply on the chip with the fused path engaged vs
@@ -910,6 +982,8 @@ def exp_mmditsitu():
             for nd, ns, chain in [(2, 4, 4), (6, 4, 4), (2, 12, 4)]:
                 t, val = run_once(nd, ns, chain)
                 r[(nd, ns)] = (t, val)
+                print(f"  [{mode} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
+                      flush=True)
             results[mode] = r
         finally:
             flux.mmdit_double_attention = mma.mmdit_double_attention
@@ -928,6 +1002,110 @@ def exp_mmditsitu():
         ps = (r[(2, 12)][0] - r[(2, 4)][0]) / 8
         print(f"  {mode}: double {pd*1e3:.2f} ms/blk | single "
               f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
+
+
+def exp_vae():
+    """Where do the 0.56 s of 1024 px VAE decode go? ~6.5 TFLOP of convs
+    should take ~35 ms at peak — measure the full decode with slope
+    timing and ablate the suspects: conv precision=highest (f32
+    multi-pass emulation?), f32 groupnorm statistics, the mid attention."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models import common as common_mod
+    from domainrag_tpu.models.flux import vae as vae_mod
+
+    rng = np.random.default_rng(0)
+    cfg = vae_mod.FLUX_VAE
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        vae_mod.init(jax.random.PRNGKey(0), cfg))
+    lat = jnp.asarray(rng.standard_normal((1, 128, 128, 16)) * 0.5,
+                      jnp.bfloat16)
+
+    def mk():
+        def make(chain):
+            @jax.jit
+            def f(params, z):
+                def body(zc, _):
+                    out = vae_mod.decode(params, zc, cfg)
+                    # force sequential dependency, negligible compute
+                    zc = zc + out.astype(jnp.float32).mean().astype(zc.dtype) * 0
+                    return zc, None
+                return jax.lax.scan(body, z, None, length=chain)[0]
+            return lambda: f(params, lat)
+        return make
+
+    orig_conv = common_mod.conv2d
+    orig_gn = vae_mod.groupnorm
+
+    def conv_default_precision(p, x, stride=1, padding="SAME", groups=1):
+        if isinstance(stride, int):
+            stride = (stride, stride)
+        y = jax.lax.conv_general_dilated(
+            x, p["w"].astype(x.dtype), window_strides=stride,
+            padding=padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups, preferred_element_type=x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
+
+    print("== VAE decode 1024px ablations (slope, ms) ==", flush=True)
+    t = _slope_time(mk(), c_lo=2, c_hi=6)
+    print(f"  as-is: {t*1e3:.1f}", flush=True)
+    vae_mod.conv2d = conv_default_precision
+    try:
+        t = _slope_time(mk(), c_lo=2, c_hi=6)
+        print(f"  conv default precision: {t*1e3:.1f}", flush=True)
+    finally:
+        vae_mod.conv2d = orig_conv
+    vae_mod.groupnorm = lambda p, x, groups=32, eps=1e-6: x
+    try:
+        t = _slope_time(mk(), c_lo=2, c_hi=6)
+        print(f"  groupnorm=identity: {t*1e3:.1f}", flush=True)
+    finally:
+        vae_mod.groupnorm = orig_gn
+    orig_mid = vae_mod._mid
+    vae_mod._mid = lambda p, x, g: x
+    try:
+        t = _slope_time(mk(), c_lo=2, c_hi=6)
+        print(f"  mid(attn)=identity: {t*1e3:.1f}", flush=True)
+    finally:
+        vae_mod._mid = orig_mid
+
+
+def exp_prior():
+    """SigLIP so400m prior at 0.45 s for ~2 TFLOP (2 images) — find the
+    sink: slope-time the tower, ablate attention vs MLP, and check the
+    patchify embed."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models import siglip as siglip_mod
+
+    rng = np.random.default_rng(0)
+    scfg = siglip_mod.SIGLIP_SO400M
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        siglip_mod.init(jax.random.PRNGKey(0), scfg))
+    imgs = jnp.asarray(rng.standard_normal(
+        (2, scfg.image_size, scfg.image_size, 3)), jnp.bfloat16)
+
+    def mk():
+        def make(chain):
+            @jax.jit
+            def f(params, x):
+                def body(c, _):
+                    out = siglip_mod.apply(params, x, scfg)
+                    c = c + out.astype(jnp.float32).mean() * 0
+                    return c, None
+                return jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    None, length=chain)[0]
+            return lambda: f(params, imgs)
+        return make
+
+    print("== SigLIP so400m prior (slope, ms / 2-image forward) ==",
+          flush=True)
+    t = _slope_time(mk(), c_lo=2, c_hi=8)
+    print(f"  as-is: {t*1e3:.1f}", flush=True)
 
 
 def main():
@@ -952,6 +1130,12 @@ def main():
         exp_mmdit()
     if "mmditsitu" in which:
         exp_mmditsitu()
+    if "mmdithires" in which:
+        exp_mmdithires()
+    if "vae" in which:
+        exp_vae()
+    if "prior" in which:
+        exp_prior()
     if "insitu2" in which:
         exp_insitu2()
     if "insitu" in which:
