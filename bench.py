@@ -457,13 +457,23 @@ def bench_e2e_components(denoise_seconds: float) -> dict:
 
     rng = np.random.default_rng(0)
 
-    def timeit(fn, *args):
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    def fetch1(out):
+        # completion via a DEVICE-SIDE 1-element slice. Fetching the whole
+        # leaf (np.asarray(leaf)) measured the axon tunnel's bandwidth on
+        # 6-24 MB outputs (0.3-0.5 s!), not device compute — a real TPU
+        # host pays local PCIe for this, so it does not belong in the
+        # component cost. Round-2/early-round-3 prior/VAE numbers were
+        # inflated by exactly this (BENCH_NOTES e2e section).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        idx = tuple(0 for _ in leaf.shape[:-1])
+        return np.asarray(leaf[idx][:1])
+
+    def timeit(fn, *args, reps=3):
+        fetch1(fn(*args))
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-        return time.perf_counter() - t0
+        outs = [fn(*args) for _ in range(reps)]
+        fetch1(outs[-1])     # async dispatches queue on-device; one fetch
+        return (time.perf_counter() - t0) / reps
 
     scfg = siglip_mod.SIGLIP_SO400M
     sparams = jax.tree_util.tree_map(

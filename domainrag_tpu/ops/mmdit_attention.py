@@ -61,7 +61,13 @@ from . import attention as _attn
 from .attention import LOG2_E, NEG_INF, attention
 
 _EPS = 1e-6             # qk-rmsnorm epsilon (models.common.rmsnorm)
-_MAX_ONEPASS = 49152    # beyond this the scores tile exceeds VMEM budget
+# One-pass ceiling, MEASURED: 16896 tokens (2048 px fill) compiles inside
+# the 100 MB Mosaic VMEM budget and wins (24.8 vs 28.6 ms/layer); the
+# 31137-token 2800 px cap does NOT compile (score tiles + f32 RoPE tables
+# + KV scratch exceed VMEM). Shapes above the gate fall back to the
+# unfused composition whose ops.attention flash path multi-passes KV and
+# is proven to 31k+ (tools/tpu_experiments.py exp_mmdithires).
+_MAX_ONEPASS = 17408
 
 
 def _round_up(x: int, m: int) -> int:

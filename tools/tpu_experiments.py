@@ -860,15 +860,11 @@ def exp_mmdithires():
     h = heads * hd
     cfg = flux.FLUX_DEV
 
-    for s_img, grid in [(7936, None), (16384, 128)]:
+    for s_img, hw in [(7936, (62, 128)), (16384, (128, 128)),
+                      (30625, (175, 175))]:               # 175² = 2800 px cap
         s_txt = 512
-        if grid is None:
-            ids = np.concatenate([
-                flux.make_text_ids(s_txt),
-                flux.make_image_ids(62, 128)])           # 7936 tokens
-        else:
-            ids = np.concatenate([flux.make_text_ids(s_txt),
-                                  flux.make_image_ids(grid, grid)])
+        ids = np.concatenate([flux.make_text_ids(s_txt),
+                              flux.make_image_ids(*hw)])
         cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim,
                                      cfg.theta)
         wq = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
@@ -1028,8 +1024,10 @@ def exp_vae():
             def f(params, z):
                 def body(zc, _):
                     out = vae_mod.decode(params, zc, cfg)
-                    # force sequential dependency, negligible compute
-                    zc = zc + out.astype(jnp.float32).mean().astype(zc.dtype) * 0
+                    # force sequential dependency (x*0 is fold-bait;
+                    # a sub-ulp perturbation is not)
+                    zc = zc + (out.astype(jnp.float32).mean()
+                               * 1e-6).astype(zc.dtype)
                     return zc, None
                 return jax.lax.scan(body, z, None, length=chain)[0]
             return lambda: f(params, lat)
@@ -1093,12 +1091,15 @@ def exp_prior():
         def make(chain):
             @jax.jit
             def f(params, x):
-                def body(c, _):
-                    out = siglip_mod.apply(params, x, scfg)
-                    c = c + out.astype(jnp.float32).mean() * 0
-                    return c, None
-                return jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                    None, length=chain)[0]
+                # the forward's INPUT must depend on the carry, or XLA
+                # hoists the loop-invariant tower out of the scan and the
+                # "slope" measures nothing (first attempt read 0.3 ms)
+                def body(xc, _):
+                    out = siglip_mod.apply(params, xc, scfg)
+                    eps = (out[:, 0, :1].astype(jnp.float32).mean()
+                           * 1e-6).astype(xc.dtype)
+                    return xc + eps, None
+                return jax.lax.scan(body, x, None, length=chain)[0]
             return lambda: f(params, imgs)
         return make
 
