@@ -183,3 +183,49 @@ def test_dispatch_falls_back_under_force_reference(rng):
                                          interpret=True)
     want = _ref_single(proj, qn, cos, sin)
     _close(got, want, atol=0)
+
+
+def test_dispatch_falls_back_under_tp_and_sp(rng):
+    """TP/SP contexts must route through the unfused composition (whose
+    ops.attention dispatcher owns the head/sequence sharding); the fused
+    kernel's lane blocking assumes unsharded (B, S, H*d)."""
+    import jax as _jax
+    from domainrag_tpu.ops import attention as attn
+    from domainrag_tpu.parallel.mesh import create_mesh
+    s_txt, s_img = 64, 192
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    mesh = create_mesh(model_parallel=2)
+    with attn.tp_attention(mesh):
+        got_t, got_i = mma.mmdit_double_attention(
+            txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD,
+            interpret=True)
+    _close(got_t, want_t)
+    _close(got_i, want_i)
+    sp_mesh = _jax.sharding.Mesh(
+        np.array(_jax.devices()[:2]).reshape(2), ("data",))
+    with attn.sp_attention(sp_mesh, axis="data"):
+        got_t, got_i = mma.mmdit_double_attention(
+            txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD,
+            interpret=True)
+    _close(got_t, want_t)
+    _close(got_i, want_i)
+
+
+def test_max_onepass_gate_falls_back(rng, monkeypatch):
+    """Shapes above the measured one-pass VMEM ceiling must take the
+    unfused path (the 2800 px fill regime fails to COMPILE fused)."""
+    monkeypatch.setattr(mma, "_MAX_ONEPASS", 128)
+    s_txt, s_img = 64, 192            # 256 total > patched ceiling
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    got_t, got_i = mma.mmdit_double_attention(
+        txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    _close(got_t, want_t, atol=0)
+    _close(got_i, want_i, atol=0)
