@@ -379,7 +379,35 @@ def main() -> None:
             else blockcache_ipm)
 
     # optional sections are best-effort: a transient remote-compile/tunnel
-    # failure must not lose the headline measurement
+    # failure must not lose the headline measurement. Exceptions are
+    # caught per section; a HANG (the axon worker died mid-run — observed:
+    # jax calls block forever on a severed tunnel, signals can't preempt
+    # the stuck C++ frame) is covered by a watchdog that prints the
+    # headline-so-far and exits.
+    import threading as _threading
+    _done = _threading.Event()
+    _print_lock = _threading.Lock()
+    _printed = [False]
+
+    def _emit():
+        with _print_lock:
+            if not _printed[0]:
+                _printed[0] = True
+                print(json.dumps(dict(result)), flush=True)
+
+    def _watchdog():
+        # generous: a cold BENCH_HIRES tiled-decode compile alone is ~22 min
+        deadline = float(os.environ.get("BENCH_SECTION_DEADLINE", "2400"))
+        if not _done.wait(deadline):
+            result["sections_error"] = (
+                f"optional sections exceeded {deadline:.0f}s "
+                "(tpu worker hang?) — partial result emitted")
+            _emit()
+            os._exit(0)
+
+    if on_tpu:
+        _threading.Thread(target=_watchdog, daemon=True).start()
+
     def _section(flag, default, name, fn, *args):
         if os.environ.get(flag, default) != "1" or not on_tpu:
             return
@@ -408,7 +436,11 @@ def main() -> None:
                  holder, cfg)
     elif os.environ.get("BENCH_HIRES", "0") == "1":
         result["hires2048_skipped"] = "proxy mode (set BENCH_QUANT=1)"
-    print(json.dumps(result))
+    if on_tpu:
+        _done.set()
+        _emit()
+    else:
+        print(json.dumps(result))
 
 
 def bench_retrieval_qps() -> dict:
