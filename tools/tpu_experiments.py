@@ -706,16 +706,32 @@ def exp_insitu2():
         return ((r[(6, 4)] - r[(2, 4)]) / 4,
                 (r[(2, 12)] - r[(2, 4)]) / 8)
 
+    # NB (post fused-attention): RoPE/qk-norm now live INSIDE
+    # ops.mmdit_attention's kernel — patching flux.apply_rope/_qknorm
+    # ablates nothing. Ablate attention by replacing the fused entry
+    # points with cheap passthroughs that still CONSUME the projections
+    # (a pure identity would let XLA dead-code the qkv GEMM — round-3
+    # postmortem).
+    def _attn_off_double(txt_qkv, img_qkv, tn, inorm, cos, sin, heads,
+                         hd, interpret=False):
+        h = heads * hd
+        return txt_qkv[..., :h], img_qkv[..., :h]
+
+    def _attn_off_single(proj, qn, cos, sin, heads, hd, interpret=False):
+        return proj[..., :heads * hd]
+
     orig = dict(gelu=flux.gelu_tanh, ln=flux._ln_no_affine,
                 mod=flux._modulate, rope=flux.apply_rope,
-                qknorm=flux._qknorm)
+                qknorm=flux._qknorm,
+                mmd=flux.mmdit_double_attention,
+                mms=flux.mmdit_single_attention)
     ablations = {
         "full": {},
         "no-gelu": {"gelu_tanh": lambda x: x},
         "no-lnmod": {"_ln_no_affine": lambda x, eps=1e-6: x,
                      "_modulate": lambda x, sh, sc: x},
-        "no-rope": {"apply_rope": lambda x, c, s: x},
-        "no-qknorm": {"_qknorm": lambda p, q, k: (q, k)},
+        "no-attn": {"mmdit_double_attention": _attn_off_double,
+                    "mmdit_single_attention": _attn_off_single},
     }
     print("== in-situ ablation depth-slopes (per block) ==")
     base = None
@@ -730,6 +746,8 @@ def exp_insitu2():
             flux._modulate = orig["mod"]
             flux.apply_rope = orig["rope"]
             flux._qknorm = orig["qknorm"]
+            flux.mmdit_double_attention = orig["mmd"]
+            flux.mmdit_single_attention = orig["mms"]
         if name == "full":
             base = (pd, ps)
             print(f"  {name}: double {pd*1e3:.2f} ms | single "
