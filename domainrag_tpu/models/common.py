@@ -69,6 +69,17 @@ def set_int8_activations(enabled: bool) -> None:
 def linear(p: Params, x: jax.Array) -> jax.Array:
     if "w_q" in p:
         if _INT8_ACTIVATIONS:
+            if jax.default_backend() == "tpu":
+                # native int8 MXU path (394 TOPS vs 197 bf16 TFLOPS):
+                # Mosaic lowers the int8 dot to it, XLA does not —
+                # 1.4-1.9x per hot GEMM (BENCH_NOTES). Bit-identical to
+                # the XLA formulation below; returns None on ineligible
+                # shapes (small M, untileable K/N) or when disabled.
+                from ..ops import int8_gemm
+                y = int8_gemm.w8a8_linear(x, p["w_q"], p["w_s"],
+                                          bias=p.get("b"))
+                if y is not None:
+                    return y
             # W8A8: dynamic symmetric per-token activation quant, int8
             # MXU dot, rescale by (token amax/127) · per-column w_s
             xf = x.astype(jnp.float32)

@@ -207,7 +207,15 @@ def redux_prior(bundle: FluxBundle, images: np.ndarray,
 def _tp_context(bundle: FluxBundle):
     if bundle.tp_mesh is None:
         return contextlib.nullcontext()
-    return attn_mod.tp_attention(bundle.tp_mesh, bundle.tp_axis)
+    # TP-sharded params: head-sharded attention AND no Pallas W8A8 GEMM
+    # (pallas_call has no GSPMD partitioning rule; the XLA W8A8
+    # formulation partitions transparently and stays bit-identical)
+    from ...ops import int8_gemm
+    stack = contextlib.ExitStack()
+    stack.enter_context(attn_mod.tp_attention(bundle.tp_mesh,
+                                              bundle.tp_axis))
+    stack.enter_context(int8_gemm.disable_pallas_w8a8())
+    return stack
 
 
 def _tp_tag(bundle: FluxBundle) -> str:

@@ -1018,6 +1018,87 @@ def exp_mmditsitu():
               f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
 
 
+def exp_w8a8situ():
+    """In-situ W8A8 on the proxy model: per-block depth slopes for
+    (a) weight-only int8 + bf16 MXU (the current headline mode),
+    (b) W8A8 through the Pallas int8-MXU GEMM (ops.int8_gemm),
+    (c) W8A8 through the XLA formulation (the round-2 no-gain path).
+    Also reports max|Δ| of (b) vs (a) on the proxy apply output."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models import common as _common
+    from domainrag_tpu.models import quant
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import int8_gemm
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_proxy
+
+    grid, s_txt = 64, 512
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    tt = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+
+    def run_once(nd, ns, chain=4):
+        cfg, params = build_proxy(nd, ns)
+        params = quant.quantize_tree(params)
+        img = jnp.asarray(rng.standard_normal(
+            (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+
+        @jax.jit
+        def f(params, x):
+            def body(y, _):
+                y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                               txt_ids, cfg, guidance=g
+                               ).astype(jnp.bfloat16)[:, :, :cfg.in_channels]
+                return y, None
+            return jax.lax.scan(body, x, None, length=chain)[0]
+        out = f(params, img)
+        t = _timeit_total(lambda: f(params, img)) / chain
+        val = np.asarray(out, np.float32)
+        del params
+        return t, val
+
+    results = {}
+    modes = [("int8w-bf16", False, True),
+             ("w8a8-pallas", True, True),
+             ("w8a8-xla", True, False)]
+    for name, acts, use_pallas in modes:
+        _common.set_int8_activations(acts)
+        int8_gemm.set_w8a8_pallas(use_pallas)
+        try:
+            r = {}
+            for nd, ns in [(2, 4), (6, 4), (2, 12)]:
+                t, val = run_once(nd, ns)
+                r[(nd, ns)] = (t, val)
+                print(f"  [{name} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
+                      flush=True)
+            results[name] = r
+        finally:
+            _common.set_int8_activations(False)
+            int8_gemm.set_w8a8_pallas(True)
+
+    print("== W8A8 in-situ (proxy flux.apply, real chip) ==")
+    for name, _, _ in modes:
+        r = results[name]
+        pd = (r[(6, 4)][0] - r[(2, 4)][0]) / 4
+        ps = (r[(2, 12)][0] - r[(2, 4)][0]) / 8
+        print(f"  {name}: double {pd*1e3:.2f} ms/blk | single "
+              f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
+    for key in [(2, 4), (2, 12)]:
+        base = results["int8w-bf16"][key][1]
+        pal = results["w8a8-pallas"][key][1]
+        xla = results["w8a8-xla"][key][1]
+        print(f"  cfg {key}: max|pallas-int8w| = "
+              f"{np.max(np.abs(pal - base)):.4f}, "
+              f"max|pallas-xla(w8a8)| = {np.max(np.abs(pal - xla)):.4f} "
+              f"(scale {np.max(np.abs(base)):.2f})")
+
+
 def exp_vae():
     """Where do the 0.56 s of 1024 px VAE decode go? ~6.5 TFLOP of convs
     should take ~35 ms at peak — measure the full decode with slope
@@ -1155,6 +1236,8 @@ def main():
         exp_vae()
     if "prior" in which:
         exp_prior()
+    if "w8a8situ" in which:
+        exp_w8a8situ()
     if "insitu2" in which:
         exp_insitu2()
     if "insitu" in which:
