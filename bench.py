@@ -111,7 +111,7 @@ def build_proxy(depth_double: int, depth_single: int):
     return cfg, jax.tree_util.tree_map(synth, shapes)
 
 
-def build_full_int8():
+def build_full_int8(depth_double=None, depth_single=None):
     """The FULL 19-double/38-single 12B MMDiT with weight-only int8
     (models.quant layout): ~12 GB of weights fits the single chip, so the
     headline is measured end-to-end, not extrapolated.
@@ -120,13 +120,20 @@ def build_full_int8():
     specs (random int8 + unit scales): dense-compute timing is independent
     of weight values, and skipping the 48 GB f32 init + host quantization
     cuts the benchmark's setup from ~20 min to ~2 on this host. Blocks
-    stream to the device one at a time."""
+    stream to the device one at a time.
+
+    ``depth_double``/``depth_single`` override the depths for
+    reduced-depth int8 proxies (tools/tpu_experiments.py w8a8situ)."""
+    import dataclasses
     import jax
     import jax.numpy as jnp
     import numpy as np
     from domainrag_tpu.models.flux import model as flux
 
     cfg = flux.FLUX_DEV
+    if depth_double is not None:
+        cfg = dataclasses.replace(cfg, depth_double=depth_double,
+                                  depth_single=depth_single)
     device = jax.devices()[0]
     rng = np.random.default_rng(0)
 

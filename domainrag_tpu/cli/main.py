@@ -118,12 +118,17 @@ def _pretrained_specs(args):
 def _build_runner(args):
     cfg = _build_cfg(args)
     corpus = _corpus_sources(args.corpus)
+    want_int8 = args.int8 or getattr(args, "w8a8", False)
+    if getattr(args, "w8a8", False):
+        # process-wide serving mode: flip once before any jit compile
+        from ..models.common import set_int8_activations
+        set_int8_activations(True)
     if args.tiny_models:
         from ..pipeline.orchestrator import build_tiny_runner
         runner = build_tiny_runner(cfg, corpus)
         runner.force_recompute = args.force_recompute
         runner.pretrained_features = _pretrained_specs(args)
-        if args.int8:
+        if want_int8:
             _quantize_runner(runner)
         return runner
     if args.checkpoints:
@@ -131,7 +136,7 @@ def _build_runner(args):
         runner = build_runner_from_checkpoints(args.checkpoints, cfg, corpus)
         runner.force_recompute = args.force_recompute
         runner.pretrained_features = _pretrained_specs(args)
-        if args.int8:
+        if want_int8:
             _quantize_runner(runner)
         return runner
     raise SystemExit(
@@ -227,6 +232,15 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 for the Flux models (12B fits "
                         "one chip; see models/quant.py)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="implies --int8 and additionally quantizes "
+                        "activations per token to int8: the hot GEMMs "
+                        "run on the TPU's native int8 MXU (2x bf16 peak) "
+                        "via a Pallas kernel (ops/int8_gemm.py). "
+                        "Output drift vs weight-only int8 is below the "
+                        "mildest block-cache schedule (BENCH_NOTES). "
+                        "TP-sharded serving falls back to the XLA W8A8 "
+                        "formulation automatically")
     p.add_argument("--legacy_generate", action="store_true",
                    help="legacy no-retrieval-JSON generation mode (ref "
                         "batch_generate_flux_kshot.py:526-736): targets "

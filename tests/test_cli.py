@@ -55,3 +55,30 @@ def test_worker_flags_reach_config():
                   "--shots", "1"])
     cfg = cli._build_cfg(args)
     assert cfg.worker_id == 2 and cfg.num_workers == 4
+
+
+def test_w8a8_implies_int8_and_serving_mode(tmp_path):
+    """--w8a8 quantizes the Flux weights AND flips the process-wide
+    int8-activation serving mode (common.set_int8_activations)."""
+    from domainrag_tpu.models import common
+
+    args = parse(["generate", "--tiny-models", "--shots", "1",
+                  "--datasets_dir", str(tmp_path / "d"),
+                  "--output_dir", str(tmp_path / "o")])
+    args.w8a8 = True
+    args.int8 = False
+    args.force_recompute = False
+    args.corpus_features = []
+    quantized = []
+    orig = cli._quantize_runner
+    cli._quantize_runner = lambda r: quantized.append(r)
+    try:
+        runner = cli._build_runner(args)
+        assert common._INT8_ACTIVATIONS is True
+        # --w8a8 implies weight quantization even without --int8
+        # (tiny-model weights are below quantize_tree's min_size, so
+        # assert on the call, not on w_q leaves)
+        assert quantized == [runner]
+    finally:
+        cli._quantize_runner = orig
+        common.set_int8_activations(False)

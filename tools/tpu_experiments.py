@@ -1018,21 +1018,78 @@ def exp_mmditsitu():
               f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
 
 
+def exp_w8a8tiles():
+    """Tile sweep for ops.int8_gemm at the Flux hot shapes: serialized
+    chains (each iteration's input depends on the previous output), slope
+    timing. Picks feed int8_gemm's tile table."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.ops import int8_gemm
+
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("qkv     ", 4608, 3072, 9216),
+        ("mlp-up  ", 4608, 3072, 12288),
+        ("mlp-down", 4608, 12288, 3072),
+        ("lin1    ", 4608, 3072, 21504),
+        ("lin2    ", 4608, 15360, 3072),
+        ("img-qkv ", 4096, 3072, 9216),
+    ]
+    tiles = [(512, 512, 1536), (512, 1024, 768), (512, 1024, 1536),
+             (512, 1024, 3072), (512, 2048, 1536), (1024, 1024, 1536),
+             (512, 512, 3072), (512, 1536, 1536)]
+    print("== W8A8 pallas GEMM tile sweep (slope, serialized) ==")
+    for name, m, k, n in shapes:
+        fl = 2 * m * k * n
+        xb = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        wi = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        ws = jnp.full((1, n), 0.01, jnp.float32)
+        rows = []
+        for bm, bn, bk in tiles:
+            if m % bm or n % bn or k % bk:
+                continue
+
+            def make(chain, bm=bm, bn=bn, bk=bk):
+                @jax.jit
+                def f(x, w):
+                    dep = jnp.zeros((1, 1), jnp.bfloat16)
+                    for i in range(chain):
+                        xp = x * (1.0 + i * (1.0 / 64.0)) + dep
+                        q, s = int8_gemm.quantize_rowwise(xp)
+                        y = int8_gemm._w8a8_gemm(
+                            q, w, s, ws, None, bm, bn, bk, jnp.bfloat16)
+                        dep = (y[:1, :1] * 0.0).astype(jnp.bfloat16)
+                    return dep
+                return lambda: f(xb, wi)
+
+            try:
+                t = _slope_time(make, c_lo=4, c_hi=20, reps=4)
+                rows.append(((bm, bn, bk), t))
+            except Exception as e:
+                print(f"  {name} bm{bm} bn{bn} bk{bk}: FAIL "
+                      f"{str(e)[:80]}", flush=True)
+        rows.sort(key=lambda r: r[1])
+        msg = " | ".join(
+            f"{bm}/{bn}/{bk} {t*1e3:.2f}ms ({fl/t/1e12:.0f}T)"
+            for (bm, bn, bk), t in rows[:4])
+        print(f"  {name} ({m}x{k}x{n}): {msg}", flush=True)
+
+
 def exp_w8a8situ():
-    """In-situ W8A8 on the proxy model: per-block depth slopes for
-    (a) weight-only int8 + bf16 MXU (the current headline mode),
-    (b) W8A8 through the Pallas int8-MXU GEMM (ops.int8_gemm),
-    (c) W8A8 through the XLA formulation (the round-2 no-gain path).
-    Also reports max|Δ| of (b) vs (a) on the proxy apply output."""
+    """In-situ W8A8 on reduced-depth int8 proxies: per-block depth
+    slopes for (a) weight-only int8 + bf16 MXU (the current headline
+    mode) and (b) W8A8 through the Pallas int8-MXU GEMM
+    (ops.int8_gemm), plus max-abs divergence of (b) vs (a) on the
+    apply output. Weights synthesize directly in the int8 layout
+    (bench.build_full_int8 with reduced depths) - a host quantize of
+    device-resident proxies would drag GBs back through the tunnel."""
     import jax
     import jax.numpy as jnp
     from domainrag_tpu.models import common as _common
-    from domainrag_tpu.models import quant
     from domainrag_tpu.models.flux import model as flux
-    from domainrag_tpu.ops import int8_gemm
 
     sys.path.insert(0, "/root/repo")
-    from bench import build_proxy
+    from bench import build_full_int8
 
     grid, s_txt = 64, 512
     rng = np.random.default_rng(0)
@@ -1042,60 +1099,54 @@ def exp_w8a8situ():
     txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
     tt = jnp.full((1,), 0.5, jnp.float32)
     g = jnp.full((1,), 2.5, jnp.float32)
+    configs = [(2, 4), (6, 4), (2, 12)]
+    modes = [("int8w-bf16", False), ("w8a8-pallas", True)]
 
-    def run_once(nd, ns, chain=4):
-        cfg, params = build_proxy(nd, ns)
-        params = quant.quantize_tree(params)
+    results = {name: {} for name, _ in modes}
+    for nd, ns in configs:
+        cfg, params = build_full_int8(nd, ns)
         img = jnp.asarray(rng.standard_normal(
             (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+        chain = 4
 
-        @jax.jit
-        def f(params, x):
-            def body(y, _):
-                y = flux.apply(params, y, txt, pooled, tt, img_ids,
-                               txt_ids, cfg, guidance=g
-                               ).astype(jnp.bfloat16)[:, :, :cfg.in_channels]
-                return y, None
-            return jax.lax.scan(body, x, None, length=chain)[0]
-        out = f(params, img)
-        t = _timeit_total(lambda: f(params, img)) / chain
-        val = np.asarray(out, np.float32)
+        def make():
+            @jax.jit
+            def f(params, x):
+                def body(y, _):
+                    y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                                   txt_ids, cfg, guidance=g
+                                   ).astype(jnp.bfloat16
+                                            )[:, :, :cfg.in_channels]
+                    return y, None
+                return jax.lax.scan(body, x, None, length=chain)[0]
+            return f
+
+        for name, acts in modes:
+            _common.set_int8_activations(acts)
+            try:
+                f = make()
+                out = f(params, img)
+                t = _timeit_total(lambda: f(params, img)) / chain
+                val = np.asarray(out, np.float32)
+            finally:
+                _common.set_int8_activations(False)
+            results[name][(nd, ns)] = (t, val)
+            print(f"  [{name} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
+                  flush=True)
         del params
-        return t, val
 
-    results = {}
-    modes = [("int8w-bf16", False, True),
-             ("w8a8-pallas", True, True),
-             ("w8a8-xla", True, False)]
-    for name, acts, use_pallas in modes:
-        _common.set_int8_activations(acts)
-        int8_gemm.set_w8a8_pallas(use_pallas)
-        try:
-            r = {}
-            for nd, ns in [(2, 4), (6, 4), (2, 12)]:
-                t, val = run_once(nd, ns)
-                r[(nd, ns)] = (t, val)
-                print(f"  [{name} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
-                      flush=True)
-            results[name] = r
-        finally:
-            _common.set_int8_activations(False)
-            int8_gemm.set_w8a8_pallas(True)
-
-    print("== W8A8 in-situ (proxy flux.apply, real chip) ==")
-    for name, _, _ in modes:
+    print("== W8A8 in-situ (int8 proxy flux.apply, real chip) ==")
+    for name, _ in modes:
         r = results[name]
         pd = (r[(6, 4)][0] - r[(2, 4)][0]) / 4
         ps = (r[(2, 12)][0] - r[(2, 4)][0]) / 8
         print(f"  {name}: double {pd*1e3:.2f} ms/blk | single "
               f"{ps*1e3:.2f} ms/blk | 19d+38s {(19*pd+38*ps)*1e3:.0f} ms")
-    for key in [(2, 4), (2, 12)]:
+    for key in configs:
         base = results["int8w-bf16"][key][1]
         pal = results["w8a8-pallas"][key][1]
-        xla = results["w8a8-xla"][key][1]
-        print(f"  cfg {key}: max|pallas-int8w| = "
-              f"{np.max(np.abs(pal - base)):.4f}, "
-              f"max|pallas-xla(w8a8)| = {np.max(np.abs(pal - xla)):.4f} "
+        print(f"  cfg {key}: max|w8a8-int8w| = "
+              f"{np.max(np.abs(pal - base)):.4f} "
               f"(scale {np.max(np.abs(base)):.2f})")
 
 
@@ -1238,6 +1289,8 @@ def main():
         exp_prior()
     if "w8a8situ" in which:
         exp_w8a8situ()
+    if "w8a8tiles" in which:
+        exp_w8a8tiles()
     if "insitu2" in which:
         exp_insitu2()
     if "insitu" in which:
