@@ -333,6 +333,29 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — cache adds ~1.6 GB HBM
             blockcache_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
 
+    # W8A8 serving (ops/int8_gemm.py: the Pallas GEMM engages the v5e's
+    # native 394-TOPS int8 MXU, ~1.5x the bf16-compute step). Default-on
+    # section so every BENCH_r*.json records both modes; the headline
+    # stays int8-weight/bf16-compute (W8A8 quantizes activations and
+    # drifts outputs — quality ladder in tools/w8a8_quality.py).
+    w8a8_ipm = None
+    if quantized and not w8a8 \
+            and os.environ.get("BENCH_W8A8_SECTION", "1") != "0":
+        from domainrag_tpu.models import common as _common
+        try:
+            # the toggle clears compiled caches; the next denoise call
+            # retraces with the int8-activation path
+            _common.set_int8_activations(True)
+            _ = np.asarray(denoise(params, latents)[0, 0, :1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = np.asarray(denoise(params, latents)[0, 0, :1])
+            w8a8_ipm = batch * 60.0 * reps / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — keep the headline alive
+            w8a8_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
+        finally:
+            _common.set_int8_activations(False)
+
     if quantized:
         images_per_min = batch * 60.0 / elapsed
         tag = "12B-int8w8a8-measured" if w8a8 else "12B-int8-weights-measured"
@@ -384,6 +407,19 @@ def main() -> None:
         result["blockcache_images_per_min_experimental"] = (
             round(blockcache_ipm, 4) if isinstance(blockcache_ipm, float)
             else blockcache_ipm)
+    if w8a8_ipm is not None:
+        if isinstance(w8a8_ipm, float):
+            w8_step = 60.0 / w8a8_ipm / NUM_STEPS
+            result["w8a8_images_per_min"] = round(w8a8_ipm, 4)
+            result["w8a8_step_seconds"] = round(w8_step, 4)
+            result["w8a8_vs_baseline"] = round(
+                w8a8_ipm / REFERENCE_AS_WRITTEN_IPM, 3)
+            if on_tpu:
+                result["w8a8_mfu_vs_int8_peak"] = round(flops_mod.mfu(
+                    step_flops, w8_step,
+                    2 * flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
+        else:
+            result["w8a8_images_per_min"] = w8a8_ipm
 
     # optional sections are best-effort: a transient remote-compile/tunnel
     # failure must not lose the headline measurement. Exceptions are
