@@ -1063,7 +1063,10 @@ def exp_w8a8tiles():
                 return lambda: f(xb, wi)
 
             try:
-                t = _slope_time(make, c_lo=4, c_hi=20, reps=4)
+                # ~1 ms kernels: chains must be long enough that the
+                # hi-lo difference (~48 ms at 16/64) dwarfs the ~30 ms
+                # tunnel floor's variance, or slopes come out negative
+                t = _slope_time(make, c_lo=16, c_hi=64, reps=3)
                 rows.append(((bm, bn, bk), t))
             except Exception as e:
                 print(f"  {name} bm{bm} bn{bn} bk{bk}: FAIL "
