@@ -83,6 +83,21 @@ def _pick(dim: int, candidates) -> Optional[int]:
     return None
 
 
+# Slope-measured tile picks at the Flux hot shapes (tools/
+# tpu_experiments.py w8a8tiles, serialized chains, c=16/64): a single K
+# pass (bk=K) wins whenever K fits one block (<=3072); large-K shapes
+# prefer bk=1536 with a wider N block. Keyed (K, N) — M is bm=512
+# everywhere and the measured M=4096/4608 variants agree on the pick.
+_TUNED_TILES = {
+    (3072, 9216): (512, 512, 3072),     # qkv: 0.75 ms vs 0.91 default
+    (3072, 12288): (512, 1024, 3072),   # mlp-up: 0.99 vs 1.20
+    (3072, 21504): (512, 1024, 3072),   # single linear1: 1.64 vs 1.96
+    (3072, 3072): (512, 1024, 3072),    # proj (single-pass, same K)
+    (12288, 3072): (512, 1024, 1536),   # mlp-down: measured best
+    (15360, 3072): (512, 1536, 1536),   # single linear2: 1.58 vs 1.60
+}
+
+
 def quantize_rowwise(x: jax.Array):
     """Per-token symmetric int8 quant: (M, K) float -> int8 + (M, 1) f32.
 
@@ -185,9 +200,10 @@ def w8a8_linear(x: jax.Array, w_q: jax.Array, w_s: jax.Array,
         m *= int(d)
     if not w8a8_eligible(m, k, n):
         return None
-    bm = 512
-    bn = _pick(n, (1024, 512, 256, 128))
-    bk = _pick(k, (1536, 2048, 1024, 512, 256, 128))
+    bm, bn, bk = _TUNED_TILES.get(
+        (k, n), (512,
+                 _pick(n, (1024, 512, 256, 128)),
+                 _pick(k, (1536, 2048, 1024, 512, 256, 128))))
 
     x2 = x.reshape(m, k)
     q, s = quantize_rowwise(x2)

@@ -20,6 +20,7 @@ Run on the real chip:  python tools/w8a8_quality.py [depth_d depth_s]
 (defaults 4 8).  CPU smoke: BENCH_PLATFORM=cpu with tiny depths (1 1).
 """
 
+import dataclasses
 import functools
 import json
 import os
@@ -37,7 +38,6 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
     import jax.numpy as jnp
 
-    from bench import build_proxy
     from domainrag_tpu.models import common as _common
     from domainrag_tpu.models import quant
     from domainrag_tpu.models.flux import model as flux
@@ -49,8 +49,22 @@ def main() -> None:
     seeds = [int(s) for s in os.environ.get("WQ_SEEDS", "0,1,2").split(",")]
     grids = [int(g) for g in os.environ.get("WQ_GRIDS", "64,32").split(",")]
 
-    cfg, params_bf16 = build_proxy(nd, ns)
-    params_q = quant.quantize_tree(params_bf16)
+    # synthesize HOST-side and quantize BEFORE any device transfer — a
+    # quantize_tree over device-resident proxies would drag GBs back
+    # through the tunnel (np.asarray per weight)
+    import ml_dtypes
+    cfg = dataclasses.replace(flux.FLUX_DEV, depth_double=nd,
+                              depth_single=ns)
+    shapes = jax.eval_shape(lambda k: flux.init(k, cfg),
+                            jax.random.PRNGKey(0))
+    host_rng = np.random.default_rng(0)
+    host = jax.tree_util.tree_map(
+        lambda l: host_rng.standard_normal(l.shape).astype(np.float32)
+        * 0.02, shapes)
+    params_bf16 = jax.device_put(jax.tree_util.tree_map(
+        lambda a: a.astype(ml_dtypes.bfloat16), host))
+    params_q = jax.device_put(quant.quantize_tree(host))
+    del host
     s_txt = 512
     rng = np.random.default_rng(7)
     txt = jnp.asarray(rng.standard_normal((1, s_txt, cfg.text_dim)),
