@@ -142,3 +142,32 @@ def test_cli_rejects_pp_combos():
     with pytest.raises(SystemExit, match="mutually exclusive"):
         cli.main(base + ["--pipeline_parallel", "2",
                          "--model_parallel", "2"])
+
+
+@pytest.mark.parametrize("strategy", ["none", "tp"])
+def test_generate_w8a8_matrix(gen_bundle, strategy):
+    """W8A8 serving (int8 weights + int8 activations) through the real
+    generate surface: single-chip and TP-sharded. On the CPU test
+    platform the Pallas int8 kernel is backend-gated off, so this
+    exercises the XLA W8A8 formulation the TP path also uses on TPU
+    (the two are bitwise-identical — tests/test_int8_gemm.py)."""
+    import dataclasses
+
+    from domainrag_tpu.models import quant
+    from domainrag_tpu.models.common import set_int8_activations
+
+    bundle = dataclasses.replace(
+        gen_bundle, flux_params=quant.quantize_tree(
+            gen_bundle.flux_params, min_size=1024))
+    e, p = _gen_inputs(bundle)
+    kw = dict(height=16, width=16, num_steps=2, seed=[0, 1])
+    set_int8_activations(True)
+    try:
+        if strategy == "none":
+            out = fp.generate(bundle, e, p, **kw)
+        else:
+            sharded, mesh = _tp_bundle(bundle)
+            out = fp.generate(sharded, e, p, mesh=mesh, **kw)
+    finally:
+        set_int8_activations(False)
+    assert out.shape == (2, 16, 16, 3) and out.dtype == np.uint8
