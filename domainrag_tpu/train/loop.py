@@ -85,6 +85,15 @@ def fit(params, flux_cfg: flux_mod.FluxConfig,
         log_every: int = 10):
     """Run ``num_steps`` sharded flow-matching steps. Returns
     (final_params, losses)."""
+    from ..models import common as _common
+    if _common._INT8_ACTIVATIONS:
+        # the W8A8 serving mode quantizes activations through round(),
+        # whose gradient is zero a.e. — training would silently learn
+        # nothing. Serving-only; fail loudly.
+        raise ValueError(
+            "training is incompatible with the W8A8 serving mode "
+            "(set_int8_activations(True) / --w8a8): activation "
+            "round() has zero gradient. Disable it before fit().")
     train_cfg = train_cfg or flow_match.TrainConfig()
     if mesh is None:
         mesh = create_mesh(model_parallel=model_parallel)

@@ -99,3 +99,18 @@ def test_disable_toggle(rng):
                                      interpret=True) is None
     finally:
         int8_gemm.set_w8a8_pallas(True)
+
+
+def test_training_rejects_w8a8_mode():
+    """fit() must fail loudly under the serving-only W8A8 mode (round()
+    has zero gradient — training would silently learn nothing)."""
+    from domainrag_tpu.models.common import set_int8_activations
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.train import loop as train_loop
+
+    set_int8_activations(True)
+    try:
+        with pytest.raises(ValueError, match="W8A8"):
+            train_loop.fit({}, flux.TINY_FLUX, [], num_steps=1)
+    finally:
+        set_int8_activations(False)
