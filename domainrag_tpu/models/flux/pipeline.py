@@ -224,6 +224,32 @@ def _tp_tag(bundle: FluxBundle) -> str:
     return f"{bundle.tp_axis}:{bundle.tp_mesh.shape[bundle.tp_axis]}"
 
 
+def _dp_wrap(core_fn, mesh, data_axis: str, n_sharded: int, n_rep: int,
+             **static_kwargs):
+    """Run a denoise core under shard_map over the data axis.
+
+    The cores are batch-independent (every op is per-sample), so
+    sharding the leading dim via shard_map is semantically identical to
+    GSPMD propagation — but it guarantees each device traces the core at
+    its LOCAL batch shape, which is what the Pallas kernels (flash /
+    fused MMDiT attention, int8-MXU GEMM) require: pallas_call has no
+    GSPMD partitioning rule, so under plain jit a multi-chip mesh would
+    gather the batch onto every device (or fail to partition) instead of
+    running data-parallel.
+
+    Args layout: (flux_params, vae_params, *sharded x n_sharded,
+    *replicated x n_rep). Returns a callable with the same signature."""
+    from jax.sharding import PartitionSpec as P
+    in_specs = ((P(), P()) + (P(data_axis),) * n_sharded
+                + (P(),) * n_rep)
+
+    def local(fp, vp, *args):
+        return core_fn(fp, vp, *args, **static_kwargs)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=P(data_axis), check_vma=False)
+
+
 # --- shared pieces of the four jitted cores (dense/PP x generate/fill):
 # one definition of the velocity model call, the euler loop, and the
 # token decode so the PP path cannot drift from the unsharded one ---
@@ -647,22 +673,34 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
         embeds = jax.device_put(embeds, shard)
         pooled_c = jax.device_put(pooled_c, shard)
 
+    # pure DP (no TP bundle): run the core under shard_map so the Pallas
+    # kernels see per-device local batch shapes (_dp_wrap docstring)
+    dp_map = (mesh is not None and bundle.tp_mesh is None
+              and mesh.shape.get(data_axis, 1) > 1)
     with _tp_context(bundle):
         if block_cache_interval > 1:
-            img = _generate_core_cached(
-                bundle.flux_params, bundle.vae_params, latents, embeds,
-                pooled_c, jnp.asarray(schedule.sigmas),
-                jnp.float32(guidance), cfg=bundle.flux_cfg,
-                vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
-                tp_tag=_tp_tag(bundle),
-                cache_interval=block_cache_interval)
+            core = (_dp_wrap(_generate_core_cached, mesh, data_axis, 3, 2,
+                             cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+                             grid_h=grid_h, grid_w=grid_w,
+                             tp_tag=_tp_tag(bundle),
+                             cache_interval=block_cache_interval)
+                    if dp_map else functools.partial(
+                        _generate_core_cached, cfg=bundle.flux_cfg,
+                        vae_cfg=bundle.vae_cfg, grid_h=grid_h,
+                        grid_w=grid_w, tp_tag=_tp_tag(bundle),
+                        cache_interval=block_cache_interval))
         else:
-            img = _generate_core(
-                bundle.flux_params, bundle.vae_params, latents, embeds,
-                pooled_c, jnp.asarray(schedule.sigmas),
-                jnp.float32(guidance), cfg=bundle.flux_cfg,
-                vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
-                tp_tag=_tp_tag(bundle))
+            core = (_dp_wrap(_generate_core, mesh, data_axis, 3, 2,
+                             cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+                             grid_h=grid_h, grid_w=grid_w,
+                             tp_tag=_tp_tag(bundle))
+                    if dp_map else functools.partial(
+                        _generate_core, cfg=bundle.flux_cfg,
+                        vae_cfg=bundle.vae_cfg, grid_h=grid_h,
+                        grid_w=grid_w, tp_tag=_tp_tag(bundle)))
+        img = core(bundle.flux_params, bundle.vae_params, latents, embeds,
+                   pooled_c, jnp.asarray(schedule.sigmas),
+                   jnp.float32(guidance))
     out = to_uint8(np.asarray(img, np.float32))[:n_real]
     return out if batched else out[0]
 
@@ -859,12 +897,22 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
             jax.device_put(x, shard) for x in (img, m, noise, embeds,
                                                pooled_c))
 
+    dp_map = (mesh is not None and not hires and bundle.tp_mesh is None
+              and mesh.shape.get(data_axis, 1) > 1)
     with _tp_context(bundle), sp_ctx:
-        out = _fill_core(
-            bundle.flux_params, bundle.vae_params, img, m, noise, embeds,
-            pooled_c, jnp.asarray(schedule.sigmas), jnp.float32(guidance),
-            cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
-            grid_h=grid_h, grid_w=grid_w,
-            tp_tag=_tp_tag(bundle) + "/" + sp_tag,
-            tiled_vae=hires, vae_tile=vae_tile, vae_overlap=vae_overlap)
+        core = (_dp_wrap(_fill_core, mesh, data_axis, 5, 2,
+                         cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
+                         grid_h=grid_h, grid_w=grid_w,
+                         tp_tag=_tp_tag(bundle) + "/" + sp_tag,
+                         tiled_vae=hires, vae_tile=vae_tile,
+                         vae_overlap=vae_overlap)
+                if dp_map else functools.partial(
+                    _fill_core, cfg=bundle.flux_cfg,
+                    vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
+                    tp_tag=_tp_tag(bundle) + "/" + sp_tag,
+                    tiled_vae=hires, vae_tile=vae_tile,
+                    vae_overlap=vae_overlap))
+        out = core(bundle.flux_params, bundle.vae_params, img, m, noise,
+                   embeds, pooled_c, jnp.asarray(schedule.sigmas),
+                   jnp.float32(guidance))
     return to_uint8(np.asarray(out, np.float32))[:n_real]
