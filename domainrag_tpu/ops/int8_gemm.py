@@ -5,8 +5,10 @@ XLA version does not lower ``jnp.dot(int8, int8, preferred=int32)`` to
 that path (measured at or below the bf16 rate at every Flux hot shape;
 BENCH_NOTES "W8A8 int8-MXU probe"). Mosaic DOES: a K-blocked Pallas
 GEMM with int8 operands and an int32 VMEM accumulator measures
-280–360 TOP/s at the Flux hot shapes (slope-calibrated, serialized
-chains) vs ~190 TF/s for the best XLA bf16 GEMMs — 1.4–1.9× per shape.
+290–370 TOP/s at the Flux hot shapes with the tuned tiles below
+(slope-calibrated, serialized chains) vs ~190 TF/s for the best XLA
+bf16 GEMMs — 1.4–1.9× per shape; full-12B serving measured 4.557 →
+7.06 images/min/chip (BENCH_NOTES "W8A8 on the int8 MXU via Pallas").
 
 Layout (matches ``models.quant``): weights are per-output-channel
 symmetric int8, ``w ≈ w_q · diag(w_s)``; activations are quantized per
@@ -41,9 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Process-wide escape hatch (mirrors common.set_int8_activations's role):
-# the Pallas path assumes unsharded operands — GSPMD/TP serving must use
-# the XLA formulation, which partitions transparently.
+# Process-wide escape hatch (mirrors common.set_int8_activations's role).
+# Sharding: pure-DP serving runs the denoise cores under shard_map
+# (models/flux/pipeline._dp_wrap), so the kernel always sees per-device
+# local shapes; TP-sharded bundles disable the kernel via the context
+# below and use the XLA formulation, which GSPMD partitions.
 _PALLAS_ENABLED = True
 
 # Trace-time thread-local disable for sharded forwards: pallas_call has

@@ -1094,7 +1094,11 @@ def exp_w8a8situ():
     sys.path.insert(0, "/root/repo")
     from bench import build_full_int8
 
-    grid, s_txt = 64, 512
+    # W8S_GRID: image-token grid per side (64 = 1024 px; 89 ~ 1408 px
+    # fill regime, 128 = 2048 px) — the fill shapes exercise the kernel
+    # at M = S_img + 512
+    import os
+    grid, s_txt = int(os.environ.get("W8S_GRID", "64")), 512
     rng = np.random.default_rng(0)
     txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
     pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
