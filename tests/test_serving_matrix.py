@@ -171,3 +171,23 @@ def test_generate_w8a8_matrix(gen_bundle, strategy):
     finally:
         set_int8_activations(False)
     assert out.shape == (2, 16, 16, 3) and out.dtype == np.uint8
+
+
+def test_fill_w8a8(fill_bundle, rng):
+    """W8A8 through the fill/compose surface (single chip)."""
+    import dataclasses
+
+    from domainrag_tpu.models import quant
+    from domainrag_tpu.models.common import set_int8_activations
+
+    bundle = dataclasses.replace(
+        fill_bundle, flux_params=quant.quantize_tree(
+            fill_bundle.flux_params, min_size=1024))
+    images, masks, e, p = _fill_inputs(bundle, rng)
+    set_int8_activations(True)
+    try:
+        out = fp.fill_batch(bundle, images, masks, e, p, num_steps=2,
+                            seeds=[0, 1], guidance=30.0, strength=0.6)
+    finally:
+        set_int8_activations(False)
+    assert out.shape == images.shape and out.dtype == np.uint8
