@@ -144,7 +144,7 @@ def test_cli_rejects_pp_combos():
                          "--model_parallel", "2"])
 
 
-@pytest.mark.parametrize("strategy", ["none", "tp"])
+@pytest.mark.parametrize("strategy", ["none", "dp", "tp"])
 def test_generate_w8a8_matrix(gen_bundle, strategy):
     """W8A8 serving (int8 weights + int8 activations) through the real
     generate surface: single-chip and TP-sharded. On the CPU test
@@ -165,6 +165,11 @@ def test_generate_w8a8_matrix(gen_bundle, strategy):
     try:
         if strategy == "none":
             out = fp.generate(bundle, e, p, **kw)
+        elif strategy == "dp":
+            # DP runs the core under shard_map (_dp_wrap) — w8a8 stays on
+            out = fp.generate(bundle, e, p,
+                              mesh=mesh_mod.create_mesh(model_parallel=1),
+                              **kw)
         else:
             sharded, mesh = _tp_bundle(bundle)
             out = fp.generate(sharded, e, p, mesh=mesh, **kw)
