@@ -235,6 +235,10 @@ def main() -> None:
     if w8a8:
         from domainrag_tpu.models import common as _common
         _common.set_int8_activations(True)
+    if os.environ.get("BENCH_INT8QK", "0") == "1" and on_tpu:
+        # SageAttention-style int8 QK scores (ops/mmdit_attention.py)
+        from domainrag_tpu.ops import mmdit_attention as _mma
+        _mma.set_int8_qk(True)
     if on_tpu:
         depth_double, depth_single = 4, 8   # ~2.5B, fits 16 GB HBM in bf16
         override = os.environ.get("BENCH_DEPTHS")  # e.g. "2,4" for the

@@ -123,6 +123,9 @@ def _build_runner(args):
         # process-wide serving mode: flip once before any jit compile
         from ..models.common import set_int8_activations
         set_int8_activations(True)
+    if getattr(args, "int8_qk", False):
+        from ..ops.mmdit_attention import set_int8_qk
+        set_int8_qk(True)
     if args.tiny_models:
         from ..pipeline.orchestrator import build_tiny_runner
         runner = build_tiny_runner(cfg, corpus)
@@ -232,6 +235,12 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 for the Flux models (12B fits "
                         "one chip; see models/quant.py)")
+    p.add_argument("--int8_qk", action="store_true",
+                   help="SageAttention-style int8 QK inside the fused "
+                        "attention kernel (scores on the int8 MXU, P*V "
+                        "stays bf16; ops/mmdit_attention.py). Output "
+                        "drift is below the W8A8 rung of the quality "
+                        "ladder. Composes with --w8a8")
     p.add_argument("--w8a8", action="store_true",
                    help="implies --int8 and additionally quantizes "
                         "activations per token to int8: the hot GEMMs "

@@ -229,3 +229,48 @@ def test_max_onepass_gate_falls_back(rng, monkeypatch):
         txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
     _close(got_t, want_t, atol=0)
     _close(got_i, want_i, atol=0)
+
+
+@pytest.mark.parametrize("s_txt,s_img", [(512, 512), (64, 192)])
+def test_double_int8_qk_close(rng, s_txt, s_img):
+    """SageAttention-style int8 QK: scores carry per-row x per-tensor
+    int8 rounding, outputs stay within a small tolerance of the exact
+    composition (P.V remains bf16)."""
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    mma.set_int8_qk(True)
+    try:
+        got_t, got_i = mma.mmdit_double_attention(
+            txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD,
+            interpret=True)
+    finally:
+        mma.set_int8_qk(False)
+    # int8 scores perturb the softmax weights; on unit-scale inputs the
+    # measured deviation is ~1e-2 — pin a 4x envelope
+    _close(got_t, want_t, atol=0.08)
+    _close(got_i, want_i, atol=0.08)
+    # and it must actually differ from the exact fused path (the flag
+    # reached the kernel, not a silent no-op)
+    exact_t, _ = mma.mmdit_double_attention(
+        txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    assert np.abs(np.asarray(got_t, np.float32)
+                  - np.asarray(exact_t, np.float32)).max() > 0
+
+
+@pytest.mark.parametrize("s", [512, 96])
+def test_single_int8_qk_close(rng, s):
+    mlp = 4 * HEADS * HD
+    proj = _bf16(rng, (1, s, 3 * HEADS * HD + mlp))
+    qn = _qknorm(rng)
+    cos, sin = _tables(rng, s)
+    want = _ref_single(proj, qn, cos, sin)
+    mma.set_int8_qk(True)
+    try:
+        got = mma.mmdit_single_attention(proj, qn, cos, sin, HEADS, HD,
+                                         interpret=True)
+    finally:
+        mma.set_int8_qk(False)
+    _close(got, want, atol=0.08)

@@ -1108,6 +1108,8 @@ def exp_w8a8situ():
     g = jnp.full((1,), 2.5, jnp.float32)
     configs = [(2, 4), (6, 4), (2, 12)]
     modes = [("int8w-bf16", False), ("w8a8-pallas", True)]
+    if os.environ.get("W8S_INT8QK", "0") == "1":
+        modes.append(("w8a8+int8qk", True))
 
     results = {name: {} for name, _ in modes}
     for nd, ns in configs:
@@ -1128,8 +1130,10 @@ def exp_w8a8situ():
                 return jax.lax.scan(body, x, None, length=chain)[0]
             return f
 
+        from domainrag_tpu.ops import mmdit_attention as _mma
         for name, acts in modes:
             _common.set_int8_activations(acts)
+            _mma.set_int8_qk("int8qk" in name)
             try:
                 f = make()
                 out = f(params, img)
@@ -1137,6 +1141,7 @@ def exp_w8a8situ():
                 val = np.asarray(out, np.float32)
             finally:
                 _common.set_int8_activations(False)
+                _mma.set_int8_qk(False)
             results[name][(nd, ns)] = (t, val)
             print(f"  [{name} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
                   flush=True)
