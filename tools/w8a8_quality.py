@@ -102,11 +102,16 @@ def main() -> None:
     # mode outermost: set_int8_activations clears every compiled cache,
     # so nesting it inside the seed loop would recompile the 28-step
     # denoise per seed (minutes each through the remote-compile tunnel)
+    from domainrag_tpu.ops import mmdit_attention as _mma
+    modes = [("bf16", params_bf16, False, False),
+             ("int8w", params_q, False, False),
+             ("w8a8", params_q, True, False)]
+    if os.environ.get("WQ_INT8QK", "0") == "1":
+        modes.append(("w8a8+int8qk", params_q, True, True))
     latents_by = {}
-    for mode, params, acts in [("bf16", params_bf16, False),
-                               ("int8w", params_q, False),
-                               ("w8a8", params_q, True)]:
+    for mode, params, acts, qk in modes:
         _common.set_int8_activations(acts)
+        _mma.set_int8_qk(qk)
         try:
             for grid in grids:
                 for seed in seeds:
@@ -114,6 +119,7 @@ def main() -> None:
                         params, grid, seed)
         finally:
             _common.set_int8_activations(False)
+            _mma.set_int8_qk(False)
         make_run.cache_clear()
 
     results = []
@@ -122,7 +128,7 @@ def main() -> None:
         for seed in seeds:
             base = latents_by[("bf16", grid, seed)]
             nrm = float(np.linalg.norm(base)) + 1e-12
-            for mode in ("int8w", "w8a8"):
+            for mode in [m[0] for m in modes if m[0] != "bf16"]:
                 got = latents_by[(mode, grid, seed)]
                 rel = float(np.linalg.norm(got - base)) / nrm
                 cos = float(np.dot(got.ravel(), base.ravel())
@@ -133,7 +139,7 @@ def main() -> None:
                 results.append(row)
                 print(json.dumps(row), flush=True)
 
-    for mode in ("int8w", "w8a8"):
+    for mode in [m[0] for m in modes if m[0] != "bf16"]:
         for grid in grids:
             rows = [r for r in results
                     if r["mode"] == mode and r["px"] == grid * 16]
