@@ -53,11 +53,16 @@ def _build_cfg(args) -> PipelineConfig:
     # with neither block caching nor TP
     pp = getattr(args, "pipeline_parallel", 1)
     bci = getattr(args, "block_cache_interval", 1)
+    vci = getattr(args, "velocity_cache_interval", 1)
     if pp > 1 and (bci == "auto" or bci > 1):
         raise SystemExit(
             "--pipeline_parallel and --block_cache_interval are mutually "
             "exclusive (block caching is not implemented on the pipelined "
             "denoise path)")
+    if (bci == "auto" or bci > 1) and (vci == "auto" or vci > 1):
+        raise SystemExit(
+            "--block_cache_interval and --velocity_cache_interval are "
+            "mutually exclusive accelerators — pick one")
     if pp > 1 and getattr(args, "model_parallel", 1) > 1:
         raise SystemExit(
             "--pipeline_parallel and --model_parallel are mutually "
@@ -67,7 +72,10 @@ def _build_cfg(args) -> PipelineConfig:
         num_steps=args.steps,
         height=args.size, width=args.size,
         seed=args.seed,
-        block_cache_interval=getattr(args, "block_cache_interval", 1))
+        block_cache_interval=getattr(args, "block_cache_interval", 1),
+        velocity_cache_interval=getattr(
+            args, "velocity_cache_interval", 1),
+        velocity_cache_order=getattr(args, "velocity_cache_order", 1))
     # --custom_upscale DATASET:DIM (ref outpainting...py:1920-1932)
     custom = {}
     for spec in args.custom_upscale or []:
@@ -78,7 +86,10 @@ def _build_cfg(args) -> PipelineConfig:
     compose = ComposeConfig(
         resolution=ResolutionPolicy(max_dimension=args.max_dimension),
         num_steps=args.steps,
-        dataset_params=dataset_params)
+        dataset_params=dataset_params,
+        # fill takes int only ("auto" calibration is generate-shaped)
+        velocity_cache_interval=vci if isinstance(vci, int) else 1,
+        velocity_cache_order=getattr(args, "velocity_cache_order", 1))
     from ..core.config import MeshConfig
     return PipelineConfig(
         datasets=tuple(args.datasets),
@@ -190,6 +201,23 @@ def _add_common(p: argparse.ArgumentParser):
                         "--pipeline_parallel. 'auto' calibrates the "
                         "largest interval within a pinned latent-"
                         "divergence budget at first use")
+    p.add_argument("--velocity_cache_interval", default=1,
+                   type=lambda v: v if v == "auto" else int(v),
+                   help="EXPERIMENTAL: velocity-extrapolation caching — "
+                        "the transformer runs every N-th denoise step; "
+                        "skipped steps integrate a velocity extrapolated "
+                        "from the last two computed ones (full Nx on the "
+                        "denoise, no residual-cache HBM; composes with "
+                        "DP/TP/SP AND --pipeline_parallel; outputs "
+                        "change — BENCH_NOTES.md). 1 = exact. Mutually "
+                        "exclusive with --block_cache_interval. 'auto' "
+                        "calibrates as for the block cache (generate "
+                        "stage only; the fill stage uses N literally, "
+                        "or 1 when 'auto')")
+    p.add_argument("--velocity_cache_order", type=int, default=1,
+                   choices=(0, 1),
+                   help="velocity cache extrapolation order: 1 = linear "
+                        "in sigma (default), 0 = hold last velocity")
     p.add_argument("--max_rank_batch", type=int, default=None,
                    help="single-chip HBM ceiling: denoise a sample's "
                         "ranks in chunks of N (int8 12B on one 16 GB "

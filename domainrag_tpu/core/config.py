@@ -160,6 +160,16 @@ class FluxSamplingConfig:
     # int interval, or "auto" (calibrate the largest interval within a
     # pinned latent-divergence budget at first use — flux/pipeline.py)
     block_cache_interval: object = 1
+    # EXPERIMENTAL velocity-extrapolation caching: the transformer runs
+    # every N-th denoise step; skipped steps integrate a velocity
+    # extrapolated from the last two computed ones (full N× on the
+    # denoise, no residual-cache HBM, composes with DP/TP/SP/PP; outputs
+    # change — BENCH_NOTES.md). Mutually exclusive with
+    # block_cache_interval. int, or "auto" (same divergence-budget
+    # calibration as the block cache).
+    velocity_cache_interval: object = 1
+    # 1 = linear extrapolation in sigma (default), 0 = hold last velocity
+    velocity_cache_order: int = 1
 
 
 @dataclass(frozen=True)
@@ -206,6 +216,11 @@ class ComposeConfig:
     # reference's 2048-px upscale / 2800-px cap regime
     # (outpainting_updown_sampling_redux.py:72-82,104-108). 0 disables.
     hires_threshold_px: int = 2048 * 2048
+    # EXPERIMENTAL velocity-extrapolation caching on the fill denoise
+    # (see FluxSamplingConfig.velocity_cache_interval). Integer only —
+    # "auto" calibration probes the unconditioned generate path.
+    velocity_cache_interval: int = 1
+    velocity_cache_order: int = 1
 
 
 @dataclass(frozen=True)

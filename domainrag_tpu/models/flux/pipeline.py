@@ -263,6 +263,65 @@ def _euler_denoise(model_fn, latents, sigmas):
     return jax.lax.fori_loop(0, sigmas.shape[0] - 1, body, latents)
 
 
+def _vcache_denoise(model_fn, latents, sigmas, interval: int,
+                    order: int = 1):
+    """Velocity-extrapolation cached Euler denoise (training-free
+    rectified-flow acceleration, VDE family — PAPERS.md,
+    arXiv:2605.23381): the network runs only on every ``interval``-th
+    step; the skipped steps reuse a velocity EXTRAPOLATED from the last
+    two computed velocities (``order=1``: linear in sigma; ``order=0``:
+    hold). The rectified-flow velocity field is smooth in sigma, which
+    is what makes the extrapolation cheap to trust (quality curves in
+    BENCH_NOTES.md).
+
+    Versus the block-residual cache (``apply_with_cache``): cached steps
+    skip the WHOLE network (embedders included) so the speedup is a full
+    ``interval``x on the denoise, the state is two latent-sized f32
+    buffers instead of ~1.6 GB of per-block residuals, and — because it
+    wraps ``model_fn`` — it composes with every serving mode (DP/TP/SP
+    and the PP pipelined model the residual cache cannot run under).
+
+    The first group has no second sample point and falls back to
+    order-0 hold automatically (zero slope via the s_prev == s0 guard).
+    """
+    n = int(sigmas.shape[0]) - 1
+    groups = -(-n // interval)
+
+    def group(g, carry):
+        x, v_prev, s_prev = carry
+        i0 = g * interval
+        s0 = sigmas[i0]
+        v0 = model_fn(x, s0).astype(jnp.float32)
+        if order >= 1:
+            d = s0 - s_prev
+            slope = (v0 - v_prev) * jnp.where(
+                d == 0.0, 0.0, 1.0 / jnp.where(d == 0.0, 1.0, d))
+        else:
+            slope = None
+        for j in range(interval):           # static unroll, elementwise
+            i = i0 + j
+            s_i = sigmas[jnp.minimum(i, n - 1)]
+            s_next = sigmas[jnp.minimum(i + 1, n)]
+            v = v0 if slope is None else v0 + (s_i - s0) * slope
+            stepped = sched_mod.euler_step(x, v, s_i, s_next)
+            x = stepped if j == 0 else jnp.where(i < n, stepped, x)
+        return x, v0, s0
+
+    out, _, _ = jax.lax.fori_loop(
+        0, groups, group,
+        (latents, jnp.zeros(latents.shape, jnp.float32),
+         sigmas[0].astype(jnp.float32)))
+    return out
+
+
+def _pick_denoise(model_fn, latents, sigmas, vcache_interval: int,
+                  vcache_order: int):
+    if vcache_interval <= 1:
+        return _euler_denoise(model_fn, latents, sigmas)
+    return _vcache_denoise(model_fn, latents, sigmas,
+                           interval=vcache_interval, order=vcache_order)
+
+
 def _dense_model_fn(flux_params, prompt_embeds, pooled, guidance,
                     img_ids, txt_ids, cfg):
     def model_fn(x, sigma):
@@ -355,13 +414,15 @@ def _pipeline_stages(bundle: "FluxBundle", n_stages: int, mesh=None,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "axis",
-                     "microbatches", "mesh", "d", "g", "n_stages"))
+                     "microbatches", "mesh", "d", "g", "n_stages",
+                     "vcache_interval", "vcache_order"))
 def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
                       prompt_embeds, pooled, sigmas, guidance,
                       cfg: flux_mod.FluxConfig, vae_cfg: vae_mod.VaeConfig,
                       grid_h: int, grid_w: int, axis: str,
                       microbatches: int, mesh=None, d: int = 1,
-                      g: int = 1, n_stages: int = 1):
+                      g: int = 1, n_stages: int = 1,
+                      vcache_interval: int = 1, vcache_order: int = 1):
     """Denoise with the 57 blocks pipelined over ``mesh[axis]``
     (parallel/pipeline_parallel.py). ``mesh`` is hashable and keys the
     jit cache directly; the stacked stage params travel as pytrees."""
@@ -374,7 +435,8 @@ def _generate_core_pp(flux_params, doubles, singles, vae_params, latents,
     model_fn = _pp_model_fn(flux_params, stages, prompt_embeds, pooled,
                             guidance, img_ids, txt_ids, cfg, mesh, axis,
                             microbatches)
-    out_tokens = _euler_denoise(model_fn, latents, sigmas)
+    out_tokens = _pick_denoise(model_fn, latents, sigmas,
+                               vcache_interval, vcache_order)
     return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
 
 
@@ -450,20 +512,24 @@ def _generate_core_cached(flux_params, vae_params, latents, prompt_embeds,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "grid_h", "grid_w", "tp_tag", "cache_interval"))
+    static_argnames=("cfg", "grid_h", "grid_w", "tp_tag", "cache_interval",
+                     "vcache_interval", "vcache_order"))
 def _denoise_latents(flux_params, latents, prompt_embeds, pooled, sigmas,
                      guidance, cfg: flux_mod.FluxConfig, grid_h: int,
                      grid_w: int, tp_tag: str = "none",
-                     cache_interval: int = 1):
+                     cache_interval: int = 1, vcache_interval: int = 1,
+                     vcache_order: int = 1):
     """Denoise WITHOUT the VAE decode — the latent-trajectory probe the
-    block-cache auto-calibration compares across intervals."""
+    cache auto-calibrations compare across intervals (block-residual via
+    ``cache_interval``, velocity extrapolation via ``vcache_interval``)."""
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
     b = latents.shape[0]
     if cache_interval <= 1:
         model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
                                    guidance, img_ids, txt_ids, cfg)
-        return _euler_denoise(model_fn, latents, sigmas)
+        return _pick_denoise(model_fn, latents, sigmas, vcache_interval,
+                             vcache_order)
     cache = flux_mod.init_block_cache(cfg, b, latents.shape[1],
                                       prompt_embeds.shape[1],
                                       dtype=latents.dtype)
@@ -493,17 +559,20 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
                                    num_steps: int, guidance: float,
                                    seed: int = 0,
                                    divergence_budget: float = 0.05,
-                                   candidates=(4, 3, 2)) -> int:
-    """Pick the largest block-cache interval whose final-latent relative
-    L2 divergence from the exact denoise stays within
-    ``divergence_budget`` (VERDICT r2 item 6: an interval chosen by a
-    pinned divergence budget instead of a blind flag).
+                                   candidates=(4, 3, 2),
+                                   mode: str = "residual") -> int:
+    """Pick the largest cache interval whose final-latent relative L2
+    divergence from the exact denoise stays within ``divergence_budget``
+    (VERDICT r2 item 6: an interval chosen by a pinned divergence budget
+    instead of a blind flag). ``mode``: "residual" calibrates the
+    block-residual cache, "velocity" the velocity-extrapolation cache.
 
     Runs one exact + up to len(candidates) cached denoises of a SINGLE
     sample at the call's own config — a one-time calibration per
     (model, resolution, steps) that is cached process-wide.  Returns 1
     when no candidate fits the budget."""
     from ...core.log import get_logger
+    assert mode in ("residual", "velocity"), mode
     lf = bundle.latent_factor
     grid_h, grid_w = height // lf, width // lf
     schedule = sched_mod.make_schedule(num_steps,
@@ -517,27 +586,28 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
     sig = jnp.asarray(schedule.sigmas)
     g = jnp.float32(guidance)
 
-    with _tp_context(bundle):
-        exact = np.asarray(_denoise_latents(
+    def probe(interval: int):
+        kw = ({"cache_interval": interval} if mode == "residual"
+              else {"vcache_interval": interval})
+        return np.asarray(_denoise_latents(
             bundle.flux_params, latents, e, p, sig, g,
             cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
-            tp_tag=_tp_tag(bundle), cache_interval=1), np.float32)
+            tp_tag=_tp_tag(bundle), **kw), np.float32)
+
+    with _tp_context(bundle):
+        exact = probe(1)
         norm = float(np.linalg.norm(exact)) or 1.0
         curve = {}
         chosen = 1
         for interval in sorted(candidates, reverse=True):
-            cached = np.asarray(_denoise_latents(
-                bundle.flux_params, latents, e, p, sig, g,
-                cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
-                tp_tag=_tp_tag(bundle), cache_interval=int(interval)),
-                np.float32)
+            cached = probe(int(interval))
             rel = float(np.linalg.norm(cached - exact)) / norm
             curve[int(interval)] = rel
             if rel <= divergence_budget and chosen == 1:
                 chosen = int(interval)
     get_logger("domainrag_tpu.flux").info(
-        "block-cache calibration @%dx%d/%d steps: divergence %s, budget "
-        "%.3f -> interval %d", width, height, num_steps,
+        "%s-cache calibration @%dx%d/%d steps: divergence %s, budget "
+        "%.3f -> interval %d", mode, width, height, num_steps,
         {k: round(v, 4) for k, v in sorted(curve.items())},
         divergence_budget, chosen)
     return chosen
@@ -545,32 +615,36 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
 
 def _resolve_block_cache_interval(bundle, block_cache_interval,
                                   prompt_embeds, pooled, height, width,
-                                  num_steps, guidance) -> int:
+                                  num_steps, guidance,
+                                  mode: str = "residual") -> int:
     if block_cache_interval != "auto":
         return int(block_cache_interval)
     key = (id(bundle.flux_params), height, width, num_steps,
-           float(guidance))
+           float(guidance), mode)
     if key not in _BLOCK_CACHE_CALIBRATIONS:
         _BLOCK_CACHE_CALIBRATIONS[key] = calibrate_block_cache_interval(
             bundle, prompt_embeds, pooled, height, width, num_steps,
-            guidance)
+            guidance, mode=mode)
     return _BLOCK_CACHE_CALIBRATIONS[key]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag"))
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
+                     "vcache_interval", "vcache_order"))
 def _generate_core(flux_params, vae_params, latents, prompt_embeds, pooled,
                    sigmas, guidance, cfg: flux_mod.FluxConfig,
                    vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int,
-                   tp_tag: str = "none"):
+                   tp_tag: str = "none", vcache_interval: int = 1,
+                   vcache_order: int = 1):
     # tp_tag keys the jit cache: the TP shard_map is baked into the traced
     # graph via the surrounding tp_attention context, invisible to jit
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
     model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
                                guidance, img_ids, txt_ids, cfg)
-    out_tokens = _euler_denoise(model_fn, latents, sigmas)
+    out_tokens = _pick_denoise(model_fn, latents, sigmas,
+                               vcache_interval, vcache_order)
     return _decode_tokens(vae_params, out_tokens, grid_h, grid_w, vae_cfg)
 
 
@@ -582,13 +656,23 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
              mesh=None, data_axis: str = "data",
              pipe_axis: Optional[str] = None,
              microbatches: Optional[int] = None,
-             block_cache_interval: int = 1) -> np.ndarray:
+             block_cache_interval: int = 1,
+             velocity_cache_interval: int = 1,
+             velocity_cache_order: int = 1) -> np.ndarray:
     """Full text/Redux-to-image run. Returns (B, H, W, 3) uint8 when
     ``prompt_embeds`` is batched (B > 1), else (H, W, 3).
 
     ``block_cache_interval`` > 1 enables the EXPERIMENTAL block-residual
     caching accelerator (blocks recompute every N steps, residuals replay
     in between — ~1.5× at N=2, outputs change; BENCH_NOTES.md). 1 = exact.
+
+    ``velocity_cache_interval`` > 1 enables the velocity-extrapolation
+    accelerator instead (_vcache_denoise): the network runs every N-th
+    step and skipped steps integrate an extrapolated velocity — a full
+    N× on the denoise, no residual-cache HBM, composes with DP/TP/PP.
+    Also EXPERIMENTAL (outputs change; quality curves in BENCH_NOTES.md);
+    mutually exclusive with ``block_cache_interval``. ``"auto"``
+    calibrates the largest interval within the divergence budget.
 
     Defaults mirror the background-gen stage (guidance 2.5, 50 steps,
     fixed seed — batch_generate_flux_kshot.py:467-474). Batched priors
@@ -623,6 +707,13 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
     block_cache_interval = _resolve_block_cache_interval(
         bundle, block_cache_interval, embeds, pooled_c, height, width,
         num_steps, guidance)
+    velocity_cache_interval = _resolve_block_cache_interval(
+        bundle, velocity_cache_interval, embeds, pooled_c, height, width,
+        num_steps, guidance, mode="velocity")
+    if block_cache_interval > 1 and velocity_cache_interval > 1:
+        raise ValueError(
+            "block_cache_interval and velocity_cache_interval are "
+            "mutually exclusive accelerators — pick one")
 
     n_real = latents.shape[0]
     if pipe_axis is not None:
@@ -649,7 +740,9 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
             vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
             axis=pipe_axis, microbatches=microbatches or n_real,
             mesh=mesh, d=stages.per_stage_double,
-            g=stages.per_stage_single, n_stages=S)
+            g=stages.per_stage_single, n_stages=S,
+            vcache_interval=velocity_cache_interval,
+            vcache_order=velocity_cache_order)
         out = to_uint8(np.asarray(img, np.float32))[:n_real]
         return out if batched else out[0]
     if block_cache_interval > 1:
@@ -693,11 +786,15 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
             core = (_dp_wrap(_generate_core, mesh, data_axis, 3, 2,
                              cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,
                              grid_h=grid_h, grid_w=grid_w,
-                             tp_tag=_tp_tag(bundle))
+                             tp_tag=_tp_tag(bundle),
+                             vcache_interval=velocity_cache_interval,
+                             vcache_order=velocity_cache_order)
                     if dp_map else functools.partial(
                         _generate_core, cfg=bundle.flux_cfg,
                         vae_cfg=bundle.vae_cfg, grid_h=grid_h,
-                        grid_w=grid_w, tp_tag=_tp_tag(bundle)))
+                        grid_w=grid_w, tp_tag=_tp_tag(bundle),
+                        vcache_interval=velocity_cache_interval,
+                        vcache_order=velocity_cache_order))
         img = core(bundle.flux_params, bundle.vae_params, latents, embeds,
                    pooled_c, jnp.asarray(schedule.sigmas),
                    jnp.float32(guidance))
@@ -734,12 +831,14 @@ def pack_mask(mask: jax.Array, vae_factor: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
-                     "tiled_vae", "vae_tile", "vae_overlap"))
+                     "tiled_vae", "vae_tile", "vae_overlap",
+                     "vcache_interval", "vcache_order"))
 def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
                pooled, sigmas, guidance, cfg: flux_mod.FluxConfig,
                vae_cfg: vae_mod.VaeConfig, grid_h: int, grid_w: int,
                tp_tag: str = "none", tiled_vae: bool = False,
-               vae_tile: int = 96, vae_overlap: int = 16):
+               vae_tile: int = 96, vae_overlap: int = 16,
+               vcache_interval: int = 1, vcache_order: int = 1):
     """image (1, H, W, 3) in [-1,1]; mask (1, H, W) float 0/1 (1=repaint).
 
     ``tiled_vae`` bounds VAE activation memory for the >=2048 px fill
@@ -756,7 +855,8 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
                               guidance, img_ids, txt_ids, cfg)
     model_fn = lambda x, sigma: base_fn(  # noqa: E731
         jnp.concatenate([x, cond], axis=-1), sigma)
-    out = _euler_denoise(model_fn, latents, sigmas)
+    out = _pick_denoise(model_fn, latents, sigmas, vcache_interval,
+                        vcache_order)
     return _decode_tokens(vae_params, out, grid_h, grid_w, vae_cfg,
                           tiled_vae, vae_tile, vae_overlap)
 
@@ -765,14 +865,16 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
     jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "axis",
                      "microbatches", "mesh", "d", "g", "n_stages",
-                     "tiled_vae", "vae_tile", "vae_overlap"))
+                     "tiled_vae", "vae_tile", "vae_overlap",
+                     "vcache_interval", "vcache_order"))
 def _fill_core_pp(flux_params, doubles, singles, vae_params, image, mask,
                   noise, prompt_embeds, pooled, sigmas, guidance,
                   cfg: flux_mod.FluxConfig, vae_cfg: vae_mod.VaeConfig,
                   grid_h: int, grid_w: int, axis: str, microbatches: int,
                   mesh=None, d: int = 1, g: int = 1, n_stages: int = 1,
                   tiled_vae: bool = False, vae_tile: int = 96,
-                  vae_overlap: int = 16):
+                  vae_overlap: int = 16,
+                  vcache_interval: int = 1, vcache_order: int = 1):
     """:func:`_fill_core` with the transformer depth pipelined over
     ``mesh[axis]`` (parallel/pipeline_parallel.py)."""
     from ...parallel import pipeline_parallel as pp
@@ -789,7 +891,8 @@ def _fill_core_pp(flux_params, doubles, singles, vae_params, image, mask,
                            microbatches)
     model_fn = lambda x, sigma: base_fn(  # noqa: E731
         jnp.concatenate([x, cond], axis=-1), sigma)
-    out = _euler_denoise(model_fn, latents, sigmas)
+    out = _pick_denoise(model_fn, latents, sigmas, vcache_interval,
+                        vcache_order)
     return _decode_tokens(vae_params, out, grid_h, grid_w, vae_cfg,
                           tiled_vae, vae_tile, vae_overlap)
 
@@ -818,7 +921,9 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
                pipe_axis: Optional[str] = None,
                microbatches: Optional[int] = None,
                hires_threshold_px: int = 2048 * 2048,
-               vae_tile: int = 96, vae_overlap: int = 16) -> np.ndarray:
+               vae_tile: int = 96, vae_overlap: int = 16,
+               velocity_cache_interval: int = 1,
+               velocity_cache_order: int = 1) -> np.ndarray:
     """Batched Fill over same-shape samples: images (B, H, W, 3) uint8,
     masks (B, H, W) uint8, prompt_embeds (B, S, D), pooled (B, P), one
     seed per row. The whole batch denoises in one compiled graph; with
@@ -830,7 +935,16 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
     tiled (bounded activation memory) and, when a multi-device ``mesh`` is
     given, attention rings over the data axis (sequence parallel — the
     ~31k-token joint sequence shards across chips) instead of sharding the
-    tiny batch."""
+    tiny batch.
+
+    ``velocity_cache_interval`` > 1 enables the velocity-extrapolation
+    accelerator (_vcache_denoise): the transformer runs every N-th step
+    and skipped steps integrate an extrapolated velocity — a full N× on
+    the denoise, composing with DP/TP/SP and PP. EXPERIMENTAL (outputs
+    change; quality curves in BENCH_NOTES.md). Integer only here —
+    "auto" calibration probes the unconditioned generate path and would
+    mis-state the fill regime's divergence."""
+    velocity_cache_interval = int(velocity_cache_interval)
     b, h, w = images.shape[:3]
     lf = bundle.latent_factor
     grid_h, grid_w = h // lf, w // lf
@@ -874,7 +988,9 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
             microbatches=microbatches or n_real, mesh=mesh,
             d=stages.per_stage_double, g=stages.per_stage_single,
             n_stages=S, tiled_vae=hires, vae_tile=vae_tile,
-            vae_overlap=vae_overlap)
+            vae_overlap=vae_overlap,
+            vcache_interval=velocity_cache_interval,
+            vcache_order=velocity_cache_order)
         return to_uint8(np.asarray(out, np.float32))[:n_real]
     sp_ctx = contextlib.nullcontext()
     sp_tag = "none"
@@ -905,13 +1021,17 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
                          grid_h=grid_h, grid_w=grid_w,
                          tp_tag=_tp_tag(bundle) + "/" + sp_tag,
                          tiled_vae=hires, vae_tile=vae_tile,
-                         vae_overlap=vae_overlap)
+                         vae_overlap=vae_overlap,
+                         vcache_interval=velocity_cache_interval,
+                         vcache_order=velocity_cache_order)
                 if dp_map else functools.partial(
                     _fill_core, cfg=bundle.flux_cfg,
                     vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
                     tp_tag=_tp_tag(bundle) + "/" + sp_tag,
                     tiled_vae=hires, vae_tile=vae_tile,
-                    vae_overlap=vae_overlap))
+                    vae_overlap=vae_overlap,
+                    vcache_interval=velocity_cache_interval,
+                    vcache_order=velocity_cache_order))
         out = core(bundle.flux_params, bundle.vae_params, img, m, noise,
                    embeds, pooled_c, jnp.asarray(schedule.sigmas),
                    jnp.float32(guidance))

@@ -220,7 +220,11 @@ class ComposeStage:
                 else self.mesh,
                 pipe_axis=self.pipe_axis if self.pipe_mesh is not None
                 else None,
-                hires_threshold_px=self.cfg.hires_threshold_px)
+                hires_threshold_px=self.cfg.hires_threshold_px,
+                velocity_cache_interval=getattr(
+                    self.cfg, "velocity_cache_interval", 1),
+                velocity_cache_order=getattr(
+                    self.cfg, "velocity_cache_order", 1))
             if pad_h or pad_w:
                 results = results[:, :aligned_h, :aligned_w]
 

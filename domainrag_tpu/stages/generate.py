@@ -162,7 +162,10 @@ class GenerateStage:
                     "base_shift": s.base_shift, "max_shift": s.max_shift},
                 mesh=pipe_mesh,
                 pipe_axis=pipe_axis if pipe_mesh is not None else None,
-                block_cache_interval=getattr(s, "block_cache_interval", 1))
+                block_cache_interval=getattr(s, "block_cache_interval", 1),
+                velocity_cache_interval=getattr(
+                    s, "velocity_cache_interval", 1),
+                velocity_cache_order=getattr(s, "velocity_cache_order", 1))
             return out[None] if out.ndim == 3 else out
 
         mb = getattr(self.cfg, "max_rank_batch", None)
@@ -286,7 +289,11 @@ def generate_samples_dp(stage: GenerateStage,
             seed=[s.seed] * len(pairs), mesh=mesh,
             scheduler_overrides={
                 "use_dynamic_shifting": s.use_dynamic_shifting,
-                "base_shift": s.base_shift, "max_shift": s.max_shift})
+                "base_shift": s.base_shift, "max_shift": s.max_shift},
+            block_cache_interval=getattr(s, "block_cache_interval", 1),
+            velocity_cache_interval=getattr(
+                s, "velocity_cache_interval", 1),
+            velocity_cache_order=getattr(s, "velocity_cache_order", 1))
     if images.ndim == 3:
         images = images[None]
 

@@ -1,4 +1,8 @@
-"""Block-cache quality/interval curves at proxy scale (VERDICT r2 item 6).
+"""Cache quality/interval curves at proxy scale (VERDICT r2 item 6).
+
+Covers BOTH denoise accelerators: the block-residual cache
+(``BQ_MODE=residual``, default) and the velocity-extrapolation cache
+(``BQ_MODE=velocity``, order via ``BQ_ORDER``, default 1).
 
 Runs the bench proxy MMDiT (production per-layer shapes, reduced depth)
 across seeds and resolutions, and reports per cache interval:
@@ -42,6 +46,9 @@ def main() -> None:
     grids = [int(g) for g in os.environ.get("BQ_GRIDS", "64,32").split(",")]
     intervals = [int(i) for i in
                  os.environ.get("BQ_INTERVALS", "2,3,4").split(",")]
+    mode = os.environ.get("BQ_MODE", "residual")
+    order = int(os.environ.get("BQ_ORDER", "1"))
+    assert mode in ("residual", "velocity"), mode
 
     cfg, params = build_proxy(nd, ns)
     s_txt = 512
@@ -65,6 +72,17 @@ def main() -> None:
 
         @jax.jit
         def run(params, latents):
+            if interval > 1 and mode == "velocity":
+                from domainrag_tpu.models.flux import pipeline as fp
+
+                def model_fn(x, sigma):
+                    return flux.apply(
+                        params, x, txt, pooled,
+                        jnp.full((b,), sigma, jnp.float32), img_ids,
+                        txt_ids, cfg,
+                        guidance=jnp.full((b,), 2.5, jnp.float32))
+                return fp._vcache_denoise(model_fn, latents, sigmas,
+                                          interval=interval, order=order)
             if interval <= 1:
                 def body(i, x):
                     sigma = sigmas[i]
@@ -109,9 +127,9 @@ def main() -> None:
                 cos = float(np.sum(cached * exact)
                             / (np.linalg.norm(cached)
                                * np.linalg.norm(exact) + 1e-12))
-                row = {"grid": grid, "px": grid * 16, "seed": seed,
-                       "interval": interval, "rel_l2": round(rel, 5),
-                       "cosine": round(cos, 6)}
+                row = {"mode": mode, "grid": grid, "px": grid * 16,
+                       "seed": seed, "interval": interval,
+                       "rel_l2": round(rel, 5), "cosine": round(cos, 6)}
                 results.append(row)
                 print(json.dumps(row), flush=True)
             print(f"# grid {grid} seed {seed}: {time.time()-t0:.0f}s",
