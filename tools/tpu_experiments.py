@@ -863,6 +863,66 @@ def exp_mmdit():
           f"{(19*(td_r-td_f) + 38*(ts_r-ts_f))*1e3:.0f} ms")
 
 
+def exp_mmditwidth():
+    """Why is the fused SINGLE attention slower than the double (2.59 vs
+    2.00 ms/layer) at identical math? Hypothesis: the single kernel's
+    lane-block DMAs read (bq, 128) slices out of the 21504-lane linear1
+    output — 256 B segments at a 43 KB row stride — while the double
+    reads from 9216-lane arrays (18.4 KB stride). Measure the fused
+    single kernel fed by (a) the real 21504-lane proj, (b) a 9216-lane
+    qkv-only array, and (c) the 21504-lane proj pre-sliced by XLA into a
+    contiguous 9216 buffer before the kernel (copy cost included)."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    s_txt, s_img = 512, 4096
+    cfg = flux.FLUX_DEV
+    ids = np.concatenate([flux.make_text_ids(s_txt),
+                          flux.make_image_ids(64, 64)])
+    cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
+    qk = {"q": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                     jnp.float32)},
+          "k": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                     jnp.float32)}}
+    s = s_txt + s_img
+    proj7 = jnp.asarray(0.3 * rng.standard_normal((1, s, 7 * h)),
+                        jnp.bfloat16)
+    proj3 = proj7[..., :3 * h]
+
+    def chain(fn, x):
+        def make(c):
+            @jax.jit
+            def f(p):
+                for _ in range(c):
+                    o = fn(p)
+                    reps_needed = p.shape[-1] // o.shape[-1]
+                    p = jnp.tile(o, (1, 1, reps_needed))
+                return p
+            return lambda: f(x)
+        return make
+
+    attn = lambda p: mma.mmdit_single_attention(  # noqa: E731
+        p, qk, cos, sin, heads, hd)
+    sliced = lambda p: mma.mmdit_single_attention(  # noqa: E731
+        jax.lax.slice_in_dim(p, 0, 3 * h, axis=2) * 1.0001,
+        qk, cos, sin, heads, hd)
+
+    print("== fused single attention: lane-width sensitivity ==")
+    t7 = _slope_time(chain(attn, proj7), c_lo=4, c_hi=16)
+    t3 = _slope_time(chain(attn, proj3), c_lo=4, c_hi=16)
+    tsl = _slope_time(chain(sliced, proj7), c_lo=4, c_hi=16)
+    print(f"  proj width 21504 (production): {t7*1e3:.2f} ms/layer")
+    print(f"  proj width  9216 (qkv only):   {t3*1e3:.2f} ms/layer")
+    print(f"  21504 pre-sliced to 9216 (copy included): {tsl*1e3:.2f}")
+    print(f"  potential step save if slice wins: "
+          f"{38*(t7-tsl)*1e3:.0f} ms")
+
+
 def exp_mmdithires():
     """Fused MMDiT attention at the FILL-regime sequence lengths
     (8448 and 16896 tokens): does the one-pass joint kernel compile
@@ -1291,6 +1351,8 @@ def main():
         exp_attnpath()
     if "mmdit" in which:
         exp_mmdit()
+    if "mmditwidth" in which:
+        exp_mmditwidth()
     if "mmditsitu" in which:
         exp_mmditsitu()
     if "mmdithires" in which:
