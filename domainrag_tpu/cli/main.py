@@ -46,6 +46,28 @@ def _corpus_sources(specs: List[str]) -> Dict[str, List[str]]:
     return sources
 
 
+def _parse_vcache_interval(v: str):
+    """--velocity_cache_interval forms: int N (uniform), "auto"
+    (budget-calibrated uniform interval), "sched:K" (DP-calibrated
+    non-uniform anchors at uniform-K model-call parity), or an explicit
+    comma list of anchor step indices ("0,2,5,9,...")."""
+    if v == "auto" or v.startswith("sched:"):
+        if v.startswith("sched:"):
+            int(v.split(":", 1)[1])     # validate at parse time
+        return v
+    if "," in v:
+        return tuple(int(x) for x in v.split(","))
+    return int(v)
+
+
+def _vci_on(v) -> bool:
+    if isinstance(v, tuple):
+        return len(v) > 0
+    if isinstance(v, str):
+        return True                      # "auto" / "sched:K"
+    return v > 1
+
+
 def _build_cfg(args) -> PipelineConfig:
     # reject unsupported parallelism combos up front, before inpaint/
     # retrieve stages run for minutes only to die at denoise time
@@ -59,7 +81,7 @@ def _build_cfg(args) -> PipelineConfig:
             "--pipeline_parallel and --block_cache_interval are mutually "
             "exclusive (block caching is not implemented on the pipelined "
             "denoise path)")
-    if (bci == "auto" or bci > 1) and (vci == "auto" or vci > 1):
+    if (bci == "auto" or bci > 1) and _vci_on(vci):
         raise SystemExit(
             "--block_cache_interval and --velocity_cache_interval are "
             "mutually exclusive accelerators — pick one")
@@ -87,8 +109,10 @@ def _build_cfg(args) -> PipelineConfig:
         resolution=ResolutionPolicy(max_dimension=args.max_dimension),
         num_steps=args.steps,
         dataset_params=dataset_params,
-        # fill takes int only ("auto" calibration is generate-shaped)
-        velocity_cache_interval=vci if isinstance(vci, int) else 1,
+        # fill takes int or explicit anchors ("auto"/"sched:" calibration
+        # is generate-shaped)
+        velocity_cache_interval=(vci if isinstance(vci, (int, tuple))
+                                 else 1),
         velocity_cache_order=getattr(args, "velocity_cache_order", 1))
     from ..core.config import MeshConfig
     return PipelineConfig(
@@ -202,7 +226,7 @@ def _add_common(p: argparse.ArgumentParser):
                         "largest interval within a pinned latent-"
                         "divergence budget at first use")
     p.add_argument("--velocity_cache_interval", default=1,
-                   type=lambda v: v if v == "auto" else int(v),
+                   type=_parse_vcache_interval,
                    help="EXPERIMENTAL: velocity-extrapolation caching — "
                         "the transformer runs every N-th denoise step; "
                         "skipped steps integrate a velocity extrapolated "
@@ -211,9 +235,15 @@ def _add_common(p: argparse.ArgumentParser):
                         "DP/TP/SP AND --pipeline_parallel; outputs "
                         "change — BENCH_NOTES.md). 1 = exact. Mutually "
                         "exclusive with --block_cache_interval. 'auto' "
-                        "calibrates as for the block cache (generate "
-                        "stage only; the fill stage uses N literally, "
-                        "or 1 when 'auto')")
+                        "calibrates as for the block cache; 'sched:K' "
+                        "keeps uniform-K's model-call count but places "
+                        "the computed steps NON-uniformly where a "
+                        "recorded probe trajectory bends most (DP-"
+                        "optimal under the frozen-field surrogate); an "
+                        "explicit comma list '0,2,5,...' pins anchor "
+                        "step indices directly. (generate stage only "
+                        "for 'auto'/'sched:'; the fill stage uses N or "
+                        "an explicit list literally, else 1)")
     p.add_argument("--velocity_cache_order", type=int, default=1,
                    choices=(0, 1),
                    help="velocity cache extrapolation order: 1 = linear "

@@ -217,9 +217,10 @@ class ComposeConfig:
     # (outpainting_updown_sampling_redux.py:72-82,104-108). 0 disables.
     hires_threshold_px: int = 2048 * 2048
     # EXPERIMENTAL velocity-extrapolation caching on the fill denoise
-    # (see FluxSamplingConfig.velocity_cache_interval). Integer only —
-    # "auto" calibration probes the unconditioned generate path.
-    velocity_cache_interval: int = 1
+    # (see FluxSamplingConfig.velocity_cache_interval). Integer or an
+    # explicit anchor tuple — "auto"/"sched:" calibration probes the
+    # unconditioned generate path.
+    velocity_cache_interval: object = 1
     velocity_cache_order: int = 1
 
 

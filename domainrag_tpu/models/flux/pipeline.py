@@ -264,7 +264,7 @@ def _euler_denoise(model_fn, latents, sigmas):
 
 
 def _vcache_denoise(model_fn, latents, sigmas, interval: int,
-                    order: int = 1):
+                    order: int = 1, anchors=None):
     """Velocity-extrapolation cached Euler denoise (training-free
     rectified-flow acceleration, VDE family — PAPERS.md,
     arXiv:2605.23381): the network runs only on every ``interval``-th
@@ -283,13 +283,35 @@ def _vcache_denoise(model_fn, latents, sigmas, interval: int,
 
     The first group has no second sample point and falls back to
     order-0 hold automatically (zero slope via the s_prev == s0 guard).
+
+    ``anchors`` (static tuple of step indices, must start at 0) places
+    the computed steps NON-uniformly — same model-call count as a
+    uniform schedule with the same anchor count, but the anchors can
+    cluster where the velocity trajectory bends most
+    (:func:`plan_vcache_anchors`). The model call stays inside one
+    ``fori_loop`` body regardless (one copy of the 57-block graph);
+    variable group lengths are handled by unrolling to the longest
+    group and masking the tail, exactly like the uniform path's
+    non-dividing tail.
     """
     n = int(sigmas.shape[0]) - 1
-    groups = -(-n // interval)
+    if anchors is None:
+        anchors = tuple(range(0, n, int(interval)))
+    else:
+        anchors = tuple(sorted({int(a) for a in anchors}))
+        if not anchors or anchors[0] != 0 or anchors[-1] >= n:
+            raise ValueError(
+                f"velocity-cache anchors must start at step 0 and stay "
+                f"below the last step index {n}: got {anchors}")
+    groups = len(anchors)
+    bounds = anchors + (n,)
+    max_len = max(b - a for a, b in zip(bounds, bounds[1:]))
+    starts = jnp.asarray(bounds, jnp.int32)
 
     def group(g, carry):
         x, v_prev, s_prev = carry
-        i0 = g * interval
+        i0 = starts[g]
+        i_end = starts[g + 1]
         s0 = sigmas[i0]
         v0 = model_fn(x, s0).astype(jnp.float32)
         if order >= 1:
@@ -298,13 +320,13 @@ def _vcache_denoise(model_fn, latents, sigmas, interval: int,
                 d == 0.0, 0.0, 1.0 / jnp.where(d == 0.0, 1.0, d))
         else:
             slope = None
-        for j in range(interval):           # static unroll, elementwise
+        for j in range(max_len):            # static unroll, elementwise
             i = i0 + j
             s_i = sigmas[jnp.minimum(i, n - 1)]
             s_next = sigmas[jnp.minimum(i + 1, n)]
             v = v0 if slope is None else v0 + (s_i - s0) * slope
             stepped = sched_mod.euler_step(x, v, s_i, s_next)
-            x = stepped if j == 0 else jnp.where(i < n, stepped, x)
+            x = stepped if j == 0 else jnp.where(i < i_end, stepped, x)
         return x, v0, s0
 
     out, _, _ = jax.lax.fori_loop(
@@ -314,12 +336,30 @@ def _vcache_denoise(model_fn, latents, sigmas, interval: int,
     return out
 
 
-def _pick_denoise(model_fn, latents, sigmas, vcache_interval: int,
+def _pick_denoise(model_fn, latents, sigmas, vcache_interval,
                   vcache_order: int):
+    """``vcache_interval``: 1 = dense Euler; int N > 1 = uniform
+    velocity cache; tuple = explicit (possibly non-uniform) anchor
+    schedule. Tuples are hashable, so the value rides the cores'
+    ``vcache_interval`` static arg unchanged."""
+    if isinstance(vcache_interval, tuple):
+        return _vcache_denoise(model_fn, latents, sigmas, interval=0,
+                               order=vcache_order,
+                               anchors=vcache_interval)
     if vcache_interval <= 1:
         return _euler_denoise(model_fn, latents, sigmas)
     return _vcache_denoise(model_fn, latents, sigmas,
                            interval=vcache_interval, order=vcache_order)
+
+
+def _vc_active(vcache_interval) -> bool:
+    """True when the velocity cache is on, for int / tuple / 'auto' /
+    'sched:K' forms alike (pre- or post-resolution)."""
+    if isinstance(vcache_interval, tuple):
+        return len(vcache_interval) > 0
+    if isinstance(vcache_interval, str):
+        return True                     # "auto" / "sched:K" may resolve >1
+    return vcache_interval > 1
 
 
 def _dense_model_fn(flux_params, prompt_embeds, pooled, guidance,
@@ -613,10 +653,173 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
     return chosen
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "grid_h", "grid_w", "tp_tag"))
+def _record_velocities(flux_params, latents, prompt_embeds, pooled,
+                       sigmas, guidance, cfg: flux_mod.FluxConfig,
+                       grid_h: int, grid_w: int, tp_tag: str = "none"):
+    """Dense Euler denoise that also RETURNS the per-step velocities
+    (n, *latent.shape) f32 — the probe :func:`plan_vcache_anchors`
+    consumes. One scan, one copy of the transformer graph."""
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                               guidance, img_ids, txt_ids, cfg)
+
+    def step(x, i):
+        v = model_fn(x, sigmas[i]).astype(jnp.float32)
+        return sched_mod.euler_step(x, v, sigmas[i], sigmas[i + 1]), v
+
+    _, vs = jax.lax.scan(step, latents,
+                         jnp.arange(sigmas.shape[0] - 1))
+    return vs
+
+
+def plan_vcache_anchors(velocities: np.ndarray, sigmas: np.ndarray,
+                        n_anchors: int, order: int = 1) -> tuple:
+    """Optimal anchor placement for the velocity cache under the
+    frozen-field surrogate, as an exact dynamic program.
+
+    Treat the recorded dense velocities ``v_i`` as the field along the
+    trajectory (velocity extrapolation banks on v depending mostly on
+    sigma there). The cached Euler integrator's final-state error is
+    then sum_i ds_i (v_used_i - v_i); we minimize the additive
+    relaxation sum_i ds_i^2 ||v_used_i - v_i||^2, which a DP over
+    consecutive anchor PAIRS solves exactly (the order-1 slope couples
+    each group to its previous anchor). All pairwise inner products
+    reduce to the velocity Gram matrix, so after the single recorded
+    probe this is O(n^2) memory and O(G n^3) scalar work (n = steps,
+    a few hundred k ops at n = 28) — no further device work.
+
+    Returns a strictly increasing tuple starting at 0 with
+    ``n_anchors`` entries (the model-call count).
+    """
+    v = np.asarray(velocities, np.float64)
+    n = v.shape[0]
+    if not 1 <= n_anchors <= n:
+        raise ValueError(f"n_anchors must be in [1, {n}]: {n_anchors}")
+    v = v.reshape(n, -1)
+    s = np.asarray(sigmas, np.float64)[:n]
+    w = np.square(np.diff(np.asarray(sigmas, np.float64)[:n + 1]))
+    gram = v @ v.T
+
+    # err2[(p, a)][i] = w_i * ||v_used_i - v_i||^2 for step i >= a with
+    # anchor a and previous anchor p (p == a encodes the first group's
+    # order-0 hold); cum[(p, a)] prefix-sums it so any group cost is a
+    # subtraction.
+    def _cum(p, a):
+        idx = np.arange(a, n)
+        if order >= 1 and p != a:
+            t = (s[idx] - s[a]) / (s[a] - s[p])
+        else:
+            t = np.zeros(len(idx))
+        al = 1.0 + t
+        e2 = (al * al * gram[a, a] + t * t * gram[p, p]
+              + gram[idx, idx] - 2.0 * al * t * gram[a, p]
+              - 2.0 * al * gram[a, idx] + 2.0 * t * gram[p, idx])
+        c = np.zeros(n + 1 - a)
+        np.cumsum(np.maximum(e2, 0.0) * w[idx], out=c[1:])
+        return c
+
+    cums: dict = {}
+
+    def cost(p, a, b):                      # group [a, b) under (p, a)
+        c = cums.get((p, a))
+        if c is None:
+            c = cums[(p, a)] = _cum(p, a)
+        return c[b - a]
+
+    # f[(p, a)] = best cost of the steps BEFORE a, with the last two
+    # anchors (p, a); g anchors placed so far.
+    INF = float("inf")
+    f = {(0, 0): 0.0}
+    parent: dict = {}
+    for g in range(1, n_anchors):
+        nxt: dict = {}
+        for (p, a), val in f.items():
+            for b_ in range(a + 1, n - (n_anchors - g) + 1):
+                cand = val + cost(p, a, b_)
+                if cand < nxt.get((a, b_), INF):
+                    nxt[(a, b_)] = cand
+                    parent[(g, a, b_)] = p
+        f = nxt
+    best, best_pa = INF, None
+    for (p, a), val in f.items():
+        total = val + cost(p, a, n)
+        if total < best:
+            best, best_pa = total, (p, a)
+    # walk parents back to 0
+    anchors = []
+    p, a = best_pa
+    for g in range(n_anchors - 1, 0, -1):
+        anchors.append(a)
+        p, a = parent[(g, p, a)], p
+    anchors.append(0)
+    return tuple(sorted(anchors))
+
+
+_VCACHE_SCHEDULES: dict = {}
+
+
+def calibrate_vcache_schedule(bundle: "FluxBundle",
+                              prompt_embeds: jax.Array,
+                              pooled: jax.Array, height: int, width: int,
+                              num_steps: int, guidance: float,
+                              n_anchors: int, seed: int = 0) -> tuple:
+    """One recorded dense probe at the call's own config, then
+    :func:`plan_vcache_anchors` — a one-time calibration per
+    (model, resolution, steps, anchor count), cached process-wide
+    (``"sched:K"`` resolution). Costs ONE exact denoise (cheaper than
+    the interval auto-calibration's 1 + len(candidates) probes)."""
+    from ...core.log import get_logger
+    lf = bundle.latent_factor
+    grid_h, grid_w = height // lf, width // lf
+    schedule = sched_mod.make_schedule(num_steps,
+                                       image_seq_len=grid_h * grid_w)
+    c = bundle.vae_cfg.latent_channels * 4
+    latents = jax.random.normal(jax.random.PRNGKey(seed),
+                                (1, grid_h * grid_w, c), jnp.float32
+                                ).astype(bundle.compute_dtype)
+    e = prompt_embeds[:1].astype(bundle.compute_dtype)
+    p = pooled[:1].astype(bundle.compute_dtype)
+    sig = jnp.asarray(schedule.sigmas)
+    with _tp_context(bundle):
+        vs = np.asarray(_record_velocities(
+            bundle.flux_params, latents, e, p, sig,
+            jnp.float32(guidance), cfg=bundle.flux_cfg, grid_h=grid_h,
+            grid_w=grid_w, tp_tag=_tp_tag(bundle)), np.float32)
+    anchors = plan_vcache_anchors(vs, np.asarray(schedule.sigmas),
+                                  n_anchors)
+    get_logger("domainrag_tpu.flux").info(
+        "velocity-cache schedule calibration @%dx%d/%d steps: "
+        "%d anchors -> %s", width, height, num_steps, n_anchors, anchors)
+    return anchors
+
+
 def _resolve_block_cache_interval(bundle, block_cache_interval,
                                   prompt_embeds, pooled, height, width,
                                   num_steps, guidance,
-                                  mode: str = "residual") -> int:
+                                  mode: str = "residual"):
+    v = block_cache_interval
+    if isinstance(v, (list, tuple)):
+        if mode != "velocity":
+            raise ValueError("anchor-schedule form is velocity-cache "
+                             "only; block_cache_interval takes an int")
+        return tuple(int(a) for a in v)
+    if isinstance(v, str) and v.startswith("sched:"):
+        if mode != "velocity":
+            raise ValueError("'sched:K' is velocity-cache only")
+        k = int(v.split(":", 1)[1])
+        if k <= 1:
+            return 1
+        n_anchors = -(-num_steps // k)      # model-call parity with
+        key = (id(bundle.flux_params), height, width, num_steps,
+               float(guidance), "velocity-sched", n_anchors)
+        if key not in _VCACHE_SCHEDULES:   # uniform interval k
+            _VCACHE_SCHEDULES[key] = calibrate_vcache_schedule(
+                bundle, prompt_embeds, pooled, height, width, num_steps,
+                guidance, n_anchors)
+        return _VCACHE_SCHEDULES[key]
     if block_cache_interval != "auto":
         return int(block_cache_interval)
     key = (id(bundle.flux_params), height, width, num_steps,
@@ -710,7 +913,7 @@ def generate(bundle: FluxBundle, prompt_embeds: jax.Array,
     velocity_cache_interval = _resolve_block_cache_interval(
         bundle, velocity_cache_interval, embeds, pooled_c, height, width,
         num_steps, guidance, mode="velocity")
-    if block_cache_interval > 1 and velocity_cache_interval > 1:
+    if block_cache_interval > 1 and _vc_active(velocity_cache_interval):
         raise ValueError(
             "block_cache_interval and velocity_cache_interval are "
             "mutually exclusive accelerators — pick one")
@@ -941,10 +1144,18 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
     accelerator (_vcache_denoise): the transformer runs every N-th step
     and skipped steps integrate an extrapolated velocity — a full N× on
     the denoise, composing with DP/TP/SP and PP. EXPERIMENTAL (outputs
-    change; quality curves in BENCH_NOTES.md). Integer only here —
-    "auto" calibration probes the unconditioned generate path and would
-    mis-state the fill regime's divergence."""
-    velocity_cache_interval = int(velocity_cache_interval)
+    change; quality curves in BENCH_NOTES.md). Integer or an explicit
+    anchor tuple here — "auto"/"sched:K" calibration probes the
+    unconditioned generate path and would mis-state the fill regime's
+    divergence."""
+    # int = uniform interval; tuple = explicit anchor schedule over THIS
+    # call's (strength-trimmed) step indices. No "auto"/"sched:" here —
+    # those calibrate the unconditioned generate path and would
+    # mis-state the fill regime's divergence.
+    velocity_cache_interval = (
+        tuple(int(a) for a in velocity_cache_interval)
+        if isinstance(velocity_cache_interval, (list, tuple))
+        else int(velocity_cache_interval))
     b, h, w = images.shape[:3]
     lf = bundle.latent_factor
     grid_h, grid_w = h // lf, w // lf

@@ -227,3 +227,145 @@ def test_cli_rejects_both_caches():
     with pytest.raises(SystemExit, match="mutually exclusive"):
         cli.main(base + ["--block_cache_interval", "2",
                          "--velocity_cache_interval", "2"])
+
+
+# ---------------------------------------------------------------------------
+# non-uniform anchor schedules (round-3: "sched:K" / explicit tuples)
+# ---------------------------------------------------------------------------
+
+def test_anchors_uniform_bitexact():
+    """An explicit anchor tuple spelling out the uniform schedule is
+    BIT-equal to the uniform interval (both lower through the same
+    generalized group loop)."""
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(rng.standard_normal((2, 8, 4)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((2, 8, 4)), jnp.float32)
+    model_fn = lambda x, s: A + s * B  # noqa: E731
+    sigmas = jnp.linspace(1.0, 0.0, 8)          # 7 steps
+    x0 = jnp.asarray(rng.standard_normal((2, 8, 4)), jnp.float32)
+    u = fp._vcache_denoise(model_fn, x0, sigmas, interval=3)
+    a = fp._vcache_denoise(model_fn, x0, sigmas, interval=0,
+                           anchors=(0, 3, 6))
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(a))
+
+
+def test_anchors_validation():
+    model_fn = lambda x, s: x  # noqa: E731
+    sigmas = jnp.linspace(1.0, 0.0, 5)          # 4 steps
+    x0 = jnp.zeros((1, 2), jnp.float32)
+    with pytest.raises(ValueError, match="start at step 0"):
+        fp._vcache_denoise(model_fn, x0, sigmas, 0, anchors=(1, 2))
+    with pytest.raises(ValueError, match="below the last step"):
+        fp._vcache_denoise(model_fn, x0, sigmas, 0, anchors=(0, 4))
+
+
+def test_planned_anchors_beat_uniform_on_curved_field():
+    """plan_vcache_anchors: on a state-independent field whose curvature
+    concentrates late in the trajectory (v bends sharply near sigma ~
+    0.2), the DP schedule clusters anchors at the bend and lands an
+    order-of-magnitude closer to the dense solution than uniform spacing
+    at the SAME model-call count. State-independence makes the planner's
+    frozen-field surrogate exact, so this pins the DP itself."""
+    n = 12
+    sig_np = np.linspace(1.0, 0.0, n + 1)
+    s = sig_np[:n]
+    vs = np.stack([np.array([np.tanh((0.2 - si) * 25.0), si])
+                   for si in s])
+    anchors = fp.plan_vcache_anchors(vs[:, None, :], sig_np, 4)
+    assert anchors[0] == 0 and len(anchors) == 4
+    assert list(anchors) == sorted(set(anchors)) and anchors[-1] < n
+
+    def field(ss):
+        ssf = jnp.asarray(ss, jnp.float32)
+        return jnp.stack([jnp.tanh((0.2 - ssf) * 25.0), ssf])[None]
+
+    mf = lambda x, ss: jnp.broadcast_to(field(ss), x.shape)  # noqa: E731
+    x0 = jnp.zeros((1, 2), jnp.float32)
+    sig = jnp.asarray(sig_np, jnp.float32)
+    dense = np.asarray(fp._euler_denoise(mf, x0, sig))
+    unif = np.asarray(fp._vcache_denoise(mf, x0, sig, interval=3))
+    schd = np.asarray(fp._vcache_denoise(mf, x0, sig, interval=0,
+                                         anchors=anchors))
+    e_unif = np.linalg.norm(unif - dense)
+    e_schd = np.linalg.norm(schd - dense)
+    assert e_schd < 0.25 * e_unif, (e_schd, e_unif, anchors)
+
+
+def test_plan_anchors_shapes_and_bounds():
+    rng = np.random.default_rng(5)
+    vs = rng.standard_normal((6, 3, 4))
+    sig = np.linspace(1.0, 0.0, 7)
+    assert fp.plan_vcache_anchors(vs, sig, 1) == (0,)
+    assert fp.plan_vcache_anchors(vs, sig, 6) == (0, 1, 2, 3, 4, 5)
+    with pytest.raises(ValueError, match="n_anchors"):
+        fp.plan_vcache_anchors(vs, sig, 7)
+
+
+def test_generate_sched_string(gen_bundle):
+    """'sched:K' resolves through one recorded probe to a DP anchor
+    tuple at uniform-K model-call parity, is cached process-wide, and
+    the resulting denoise engages (output differs from exact)."""
+    e, p = _gen_inputs(gen_bundle)
+    kw = dict(height=16, width=16, num_steps=4, seed=[0, 1])
+    before = len(fp._VCACHE_SCHEDULES)
+    out = fp.generate(gen_bundle, e, p,
+                      velocity_cache_interval="sched:2", **kw)
+    assert out.shape == (2, 16, 16, 3)
+    assert len(fp._VCACHE_SCHEDULES) == before + 1
+    (key, anchors), = [kv for kv in fp._VCACHE_SCHEDULES.items()
+                       if kv[0][-1] == 2][-1:]
+    assert len(anchors) == 2 and anchors[0] == 0   # ceil(4 / 2) calls
+    exact = fp.generate(gen_bundle, e, p, **kw)
+    assert not np.array_equal(out, exact)
+    # second call hits the cache (no new entries)
+    fp.generate(gen_bundle, e, p, velocity_cache_interval="sched:2",
+                **kw)
+    assert len(fp._VCACHE_SCHEDULES) == before + 1
+
+
+def test_generate_explicit_anchor_tuple(gen_bundle):
+    e, p = _gen_inputs(gen_bundle)
+    kw = dict(height=16, width=16, num_steps=4, seed=[0, 1])
+    out = fp.generate(gen_bundle, e, p,
+                      velocity_cache_interval=(0, 3), **kw)
+    assert out.shape == (2, 16, 16, 3)
+    assert not np.array_equal(out, fp.generate(gen_bundle, e, p, **kw))
+
+
+def test_fill_anchor_tuple(rng):
+    bundle = fp.tiny_bundle(jax.random.PRNGKey(0), fill=True)
+    images = rng.integers(0, 255, (1, 16, 16, 3)).astype(np.uint8)
+    masks = np.full((1, 16, 16), 255, np.uint8)
+    pimgs = np.zeros((1, 1, 28, 28, 3), np.float32)
+    e, p = fp.redux_prior_pairs(bundle, pimgs, "",
+                                prompt_embeds_scale=[1.0],
+                                pooled_prompt_embeds_scale=[1.0])
+    kw = dict(num_steps=4, seeds=[0], guidance=30.0, strength=1.0)
+    exact = fp.fill_batch(bundle, images, masks, e, p, **kw)
+    sched = fp.fill_batch(bundle, images, masks, e, p,
+                          velocity_cache_interval=[0, 2], **kw)
+    assert sched.shape == exact.shape
+    assert not np.array_equal(sched, exact)
+
+
+def test_cli_vcache_interval_parse():
+    from domainrag_tpu.cli.main import _parse_vcache_interval, _vci_on
+
+    assert _parse_vcache_interval("3") == 3
+    assert _parse_vcache_interval("auto") == "auto"
+    assert _parse_vcache_interval("sched:3") == "sched:3"
+    assert _parse_vcache_interval("0,2,5") == (0, 2, 5)
+    with pytest.raises(ValueError):
+        _parse_vcache_interval("sched:x")
+    assert _vci_on((0, 2)) and _vci_on("auto") and _vci_on("sched:3")
+    assert _vci_on(2) and not _vci_on(1)
+
+
+def test_cli_rejects_sched_with_block_cache():
+    from domainrag_tpu.cli import main as cli
+
+    base = ["generate", "--datasets", "NEUDET", "--shots", "5",
+            "--tiny-models"]
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(base + ["--block_cache_interval", "2",
+                         "--velocity_cache_interval", "sched:3"])
