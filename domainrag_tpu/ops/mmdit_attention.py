@@ -73,14 +73,30 @@ _MAX_ONEPASS = 17408
 # the TPU int8 MXU): after the in-kernel qk-rmsnorm+RoPE, quantize q per
 # row and K per (batch, head) tensor to int8 and run the score dot as
 # int8*int8 -> int32 — measured 328 TOP/s vs 189 TF/s bf16 at the
-# full-layer 4608-token shape (1.73x on the QK half of attention). The
-# softmax dequantizes with the rank-1 (row x scalar) rescale before the
-# f32 exp2; P·V stays bf16 (probs quantization hurts accuracy for no
-# bandwidth win). Serving-only approximation: scores carry ~1/254
-# relative rounding; the backward still recomputes through the exact
-# reference composition. Off by default; enable with set_int8_qk(True)
-# (CLI --int8_qk; read at trace time like common.set_int8_activations).
+# full-layer 4608-token shape (1.73x on the QK half of attention).
+#
+# Round-4 rework: the dequant no longer materializes a rescaled f32
+# score matrix (the O(bq·s_kv) extra pass that made the round-3 mode a
+# wash — BENCH_NOTES "int8 QK scores"). The row max is taken in int32
+# and the per-row scale alpha = s_q·s_K folds into the exp2 argument:
+# p = exp2(alpha·(s_i32 - m_i32)) — alpha > 0 commutes with max, so
+# this equals the exact softmax of the dequantized scores.
+#
+# _INT8_PV additionally runs the P·V contraction on the int8 MXU:
+# after the shared-max exp2, every row of [pt|pi] has max element
+# exactly 1 (exp2(0) at the argmax), so P quantizes to int8 with the
+# CONSTANT scale 127 — no per-row rescale. V quantizes per 128-lane
+# column once per (batch, head) at the first q tile (like K), and the
+# l-normalization uses the QUANTIZED row sum l = sum(P_q), so the
+# output stays an exact convex combination of the quantized rows and
+# the 127s cancel: o = (P_q @ V_q) · s_vcol / l.
+#
+# Serving-only approximations; the backward recomputes through the
+# exact reference composition. Off by default; enable with
+# set_int8_qk(True) / set_int8_pv(True) (CLI --int8_qk/--int8_attn;
+# read at trace time like common.set_int8_activations).
 _INT8_QK = False
+_INT8_PV = False
 
 
 def set_int8_qk(enabled: bool) -> None:
@@ -93,6 +109,19 @@ def set_int8_qk(enabled: bool) -> None:
 
 def int8_qk_enabled() -> bool:
     return _INT8_QK
+
+
+def set_int8_pv(enabled: bool) -> None:
+    """int8 P·V (implies int8 QK at dispatch). Trace-time flag."""
+    global _INT8_PV
+    if bool(enabled) == _INT8_PV:
+        return
+    _INT8_PV = bool(enabled)
+    jax.clear_caches()
+
+
+def int8_pv_enabled() -> bool:
+    return _INT8_PV
 
 
 def _round_up(x: int, m: int) -> int:
@@ -191,6 +220,29 @@ def _pad_seq(x, rows: int):
         x, ((0, 0), (0, rows - x.shape[1]), (0, 0)))
 
 
+def _pad_seq3(x, rows: int):
+    """Pad the sequence axis (2) of a (3, B, S, H*d) qkv3 array."""
+    return x if x.shape[2] == rows else jnp.pad(
+        x, ((0, 0), (0, 0), (0, rows - x.shape[2]), (0, 0)))
+
+
+def qkv3_from_lanes(qkv: jax.Array, heads: int, head_dim: int) -> jax.Array:
+    """(B, S, 3*H*d) fused-GEMM lane layout -> (3, B, S, H*d) qkv3.
+
+    One XLA transpose-copy (~0.1 ms at the 1024 px single-block shape)
+    that drops the attention kernel's DMA row pitch from 3*H*d (or the
+    single block's 7*H*d) to H*d — slope-measured 2.73 -> 0.78 ms/layer
+    (round 4). Lane order within each part is preserved (head-major)."""
+    b, s, w = qkv.shape
+    hd = heads * head_dim
+    return qkv.reshape(b, s, 3, hd).transpose(2, 0, 1, 3)
+
+
+def lanes_from_qkv3(qkv3: jax.Array) -> jax.Array:
+    """Inverse of :func:`qkv3_from_lanes` (fallback/reference path)."""
+    return jnp.concatenate([qkv3[0], qkv3[1], qkv3[2]], axis=-1)
+
+
 @functools.lru_cache(maxsize=1)
 def _pair_swap_np():
     p = np.zeros((128, 128), np.float32)
@@ -237,6 +289,21 @@ def _quant_tensor(x_f32):
     return q, s
 
 
+def _quant_cols(x_f32):
+    """Per-column symmetric int8: (rows, 128) f32 -> int8, (1, 128) f32.
+    The V quantizer: the column scale folds into the output epilogue."""
+    s = jnp.maximum(jnp.max(jnp.abs(x_f32), axis=0, keepdims=True)
+                    / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x_f32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_probs(p_f32):
+    """P in [0, 1] with row max EXACTLY 1 (shared-max exp2) -> int8 with
+    the constant scale 127; no clip needed (127·1 is the max)."""
+    return jnp.round(p_f32 * 127.0).astype(jnp.int8)
+
+
 # ---------------------------------------------------------------------------
 # one-pass flash kernels over raw qkv GEMM lanes (no lse output — serving
 # forward; the backward recomputes through the unfused composition)
@@ -245,46 +312,73 @@ def _quant_tensor(x_f32):
 def _seq_kernel(valid_ref, q_ref, k_ref, v_ref, c_ref, s_ref,
                 wq_ref, wk_ref, p_ref, o_ref, k_scr, *scr,
                 bq: int, masked: bool, prescale: float,
-                int8_qk: bool = False):
+                int8_qk: bool = False, int8_pv: bool = False):
     iq = pl.program_id(2)
     p_swap = p_ref[:]
-    ks_scr = scr[0] if int8_qk else None
+    scr = list(scr)
+    ks_scr = scr.pop(0) if int8_qk else None
+    v_scr = scr.pop(0) if int8_pv else None
+    vs_scr = scr.pop(0) if int8_pv else None
 
     @pl.when(iq == 0)
     def _():
         if int8_qk:
-            kf = _norm_rope(k_ref[0], wk_ref[:], c_ref[:], s_ref[:],
+            kf = _norm_rope(_ld(k_ref), wk_ref[:], c_ref[:], s_ref[:],
                             p_swap, None, out_dtype=jnp.float32)
             kq, sk = _quant_tensor(kf)
             k_scr[:] = kq
             ks_scr[0, 0] = sk
         else:
-            k_scr[:] = _norm_rope(k_ref[0], wk_ref[:], c_ref[:], s_ref[:],
+            k_scr[:] = _norm_rope(_ld(k_ref), wk_ref[:], c_ref[:], s_ref[:],
                                   p_swap, None)
+        if int8_pv:
+            vq, vs = _quant_cols(_ld(v_ref).astype(jnp.float32))
+            v_scr[:] = vq
+            vs_scr[:] = vs
 
     if int8_qk:
-        qf = _norm_rope(q_ref[0], wq_ref[:], c_ref[pl.ds(iq * bq, bq)],
+        qf = _norm_rope(_ld(q_ref), wq_ref[:], c_ref[pl.ds(iq * bq, bq)],
                         s_ref[pl.ds(iq * bq, bq)], p_swap, prescale,
                         out_dtype=jnp.float32)
         qq, sq = _quant_rows(qf)
         s = jax.lax.dot_general(qq, k_scr[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        s = s.astype(jnp.float32) * (sq * ks_scr[0, 0])
+        if masked:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_pos < valid_ref[0], s, jnp.int32(-(2 ** 30)))
+        # folded dequant: alpha = s_q·s_K > 0 commutes with max, so
+        # exp2(alpha·(s_i32 - m_i32)) IS the softmax numerator of the
+        # dequantized scores — no rescaled f32 score matrix pass
+        m = jnp.max(s, axis=1, keepdims=True)
+        alpha = sq * ks_scr[0, 0]
+        p = jnp.exp2((s - m).astype(jnp.float32) * alpha)
     else:
-        q = _norm_rope(q_ref[0], wq_ref[:], c_ref[pl.ds(iq * bq, bq)],
+        q = _norm_rope(_ld(q_ref), wq_ref[:], c_ref[pl.ds(iq * bq, bq)],
                        s_ref[pl.ds(iq * bq, bq)], p_swap, prescale)
         s = jax.lax.dot_general(q, k_scr[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    if masked:
-        kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(kv_pos < valid_ref[0], s, NEG_INF)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0]
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if masked:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kv_pos < valid_ref[0], s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+    if int8_pv:
+        pq = _quant_probs(p)
+        l = jnp.sum(pq, axis=1, keepdims=True,
+                    dtype=jnp.int32).astype(jnp.float32)
+        o = jax.lax.dot_general(pq, v_scr[:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        # o_real = (P_q/127)@(V_q·s_col) / (l/127): the 127s cancel and
+        # l >= 127 always (the row max quantizes to exactly 127)
+        o_ref[0] = (o.astype(jnp.float32) * vs_scr[:] / l
+                    ).astype(o_ref.dtype)
+    else:
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v = _ld(v_ref)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _joint_kernel(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref, vi_ref,
@@ -292,33 +386,45 @@ def _joint_kernel(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref, vi_ref,
                   wqt_ref, wkt_ref, wqi_ref, wki_ref, p_ref,
                   o_ref, kt_scr, ki_scr, *scr,
                   t_tiles: int, bq: int, masked: bool, prescale: float,
-                  int8_qk: bool = False):
+                  int8_qk: bool = False, int8_pv: bool = False):
     iq = pl.program_id(2)
     p_swap = p_ref[:]
-    kts_scr = scr[0] if int8_qk else None
-    kis_scr = scr[1] if int8_qk else None
+    scr = list(scr)
+    kts_scr = scr.pop(0) if int8_qk else None
+    kis_scr = scr.pop(0) if int8_qk else None
+    vt_scr = scr.pop(0) if int8_pv else None
+    vi_scr = scr.pop(0) if int8_pv else None
+    vts_scr = scr.pop(0) if int8_pv else None
+    vis_scr = scr.pop(0) if int8_pv else None
 
     @pl.when(iq == 0)
     def _():
         if int8_qk:
-            ktf = _norm_rope(kt_ref[0], wkt_ref[:], ct_ref[:], st_ref[:],
+            ktf = _norm_rope(_ld(kt_ref), wkt_ref[:], ct_ref[:], st_ref[:],
                              p_swap, None, out_dtype=jnp.float32)
             ktq, skt = _quant_tensor(ktf)
             kt_scr[:] = ktq
             kts_scr[0, 0] = skt
-            kif = _norm_rope(ki_ref[0], wki_ref[:], ci_ref[:], si_ref[:],
+            kif = _norm_rope(_ld(ki_ref), wki_ref[:], ci_ref[:], si_ref[:],
                              p_swap, None, out_dtype=jnp.float32)
             kiq, ski = _quant_tensor(kif)
             ki_scr[:] = kiq
             kis_scr[0, 0] = ski
         else:
-            kt_scr[:] = _norm_rope(kt_ref[0], wkt_ref[:], ct_ref[:],
+            kt_scr[:] = _norm_rope(_ld(kt_ref), wkt_ref[:], ct_ref[:],
                                    st_ref[:], p_swap, None)
-            ki_scr[:] = _norm_rope(ki_ref[0], wki_ref[:], ci_ref[:],
+            ki_scr[:] = _norm_rope(_ld(ki_ref), wki_ref[:], ci_ref[:],
                                    si_ref[:], p_swap, None)
+        if int8_pv:
+            vtq, vts = _quant_cols(_ld(vt_ref).astype(jnp.float32))
+            vt_scr[:] = vtq
+            vts_scr[:] = vts
+            viq, vis = _quant_cols(_ld(vi_ref).astype(jnp.float32))
+            vi_scr[:] = viq
+            vis_scr[:] = vis
 
     is_txt = iq < t_tiles
-    q_raw = jnp.where(is_txt, qt_ref[0], qi_ref[0])
+    q_raw = jnp.where(is_txt, _ld(qt_ref), _ld(qi_ref))
     wq = jnp.where(is_txt, wqt_ref[:], wqi_ref[:])
     off_t = jnp.minimum(iq, t_tiles - 1) * bq
     off_i = jnp.maximum(iq - t_tiles, 0) * bq
@@ -332,37 +438,64 @@ def _joint_kernel(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref, vi_ref,
                         out_dtype=jnp.float32)
         qq, sqr = _quant_rows(qf)
         st = jax.lax.dot_general(qq, kt_scr[:], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.int32
-                                 ).astype(jnp.float32) \
-            * (sqr * kts_scr[0, 0])
+                                 preferred_element_type=jnp.int32)
         si = jax.lax.dot_general(qq, ki_scr[:], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.int32
-                                 ).astype(jnp.float32) \
-            * (sqr * kis_scr[0, 0])
+                                 preferred_element_type=jnp.int32)
+        if masked:
+            t_pos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+            st = jnp.where(t_pos < valid_ref[0], st, jnp.int32(-(2 ** 30)))
+            i_pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+            si = jnp.where(i_pos < valid_ref[1], si, jnp.int32(-(2 ** 30)))
+        # two K tensors -> two dequant scales; the shared row max must
+        # live in the REAL domain, so fold each alpha into its exp2
+        # argument: p = exp2(alpha·s_i32 - m_real)
+        at = sqr * kts_scr[0, 0]
+        ai = sqr * kis_scr[0, 0]
+        m = jnp.maximum(
+            jnp.max(st, axis=1, keepdims=True).astype(jnp.float32) * at,
+            jnp.max(si, axis=1, keepdims=True).astype(jnp.float32) * ai)
+        pt = jnp.exp2(st.astype(jnp.float32) * at - m)
+        pi = jnp.exp2(si.astype(jnp.float32) * ai - m)
     else:
         q = _norm_rope(q_raw, wq, cq, sq, p_swap, prescale)
         st = jax.lax.dot_general(q, kt_scr[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         si = jax.lax.dot_general(q, ki_scr[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    if masked:
-        t_pos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
-        st = jnp.where(t_pos < valid_ref[0], st, NEG_INF)
-        i_pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
-        si = jnp.where(i_pos < valid_ref[1], si, NEG_INF)
-    m = jnp.maximum(jnp.max(st, axis=1, keepdims=True),
-                    jnp.max(si, axis=1, keepdims=True))
-    pt = jnp.exp2(st - m)
-    pi = jnp.exp2(si - m)
-    l = (jnp.sum(pt, axis=1, keepdims=True)
-         + jnp.sum(pi, axis=1, keepdims=True))
-    o = jax.lax.dot_general(pt.astype(vt_ref.dtype), vt_ref[0],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) \
-        + jax.lax.dot_general(pi.astype(vi_ref.dtype), vi_ref[0],
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if masked:
+            t_pos = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+            st = jnp.where(t_pos < valid_ref[0], st, NEG_INF)
+            i_pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1)
+            si = jnp.where(i_pos < valid_ref[1], si, NEG_INF)
+        m = jnp.maximum(jnp.max(st, axis=1, keepdims=True),
+                        jnp.max(si, axis=1, keepdims=True))
+        pt = jnp.exp2(st - m)
+        pi = jnp.exp2(si - m)
+    if int8_pv:
+        ptq = _quant_probs(pt)
+        piq = _quant_probs(pi)
+        l = (jnp.sum(ptq, axis=1, keepdims=True, dtype=jnp.int32)
+             + jnp.sum(piq, axis=1, keepdims=True, dtype=jnp.int32)
+             ).astype(jnp.float32)
+        # separate per-column V scales -> scale each int32 partial before
+        # the sum (two O(bq·128) multiplies)
+        o = (jax.lax.dot_general(ptq, vt_scr[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) * vts_scr[:]
+             + jax.lax.dot_general(piq, vi_scr[:], (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32
+                                   ).astype(jnp.float32) * vis_scr[:])
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+    else:
+        l = (jnp.sum(pt, axis=1, keepdims=True)
+             + jnp.sum(pi, axis=1, keepdims=True))
+        o = jax.lax.dot_general(pt.astype(vt_ref.dtype), _ld(vt_ref),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) \
+            + jax.lax.dot_general(pi.astype(vi_ref.dtype), _ld(vi_ref),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _lane_block(heads: int, which: int, rows: int, row_map):
@@ -372,6 +505,25 @@ def _lane_block(heads: int, which: int, rows: int, row_map):
         (1, rows, 128),
         lambda b, h, iq: (b, row_map(iq), which * heads + h),
         memory_space=pltpu.VMEM)
+
+
+def _lane_block3(which: int, rows: int, row_map):
+    """BlockSpec for a (1, 1, rows, 128) head slice of a (3, B, S, H*d)
+    qkv3-layout array. The contiguous per-part layout keeps the DMA row
+    pitch at H*d bytes — slope-measured 0.78 vs 2.73 ms/layer against
+    reading the same head slices out of the single block's 21504-wide
+    fused linear1 output (row-pitch-bound DMA, round 4)."""
+    return pl.BlockSpec(
+        (1, 1, rows, 128),
+        lambda b, h, iq: (which, b, row_map(iq), h),
+        memory_space=pltpu.VMEM)
+
+
+def _ld(ref):
+    """Load a (*, rows, 128) ref as (rows, 128) (drops leading unit dims
+    so kernels work for both (B,S,W) lane slices and qkv3 slices)."""
+    x = ref[...]
+    return x.reshape(x.shape[-2], x.shape[-1])
 
 
 def _tab_spec(rows: int):
@@ -407,9 +559,16 @@ def _w128(w):
 
 def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
                        *, heads: int, interpret: bool,
-                       int8_qk: bool = False):
-    b, s_txt, _ = txt_qkv.shape
-    s_img = img_qkv.shape[1]
+                       int8_qk: bool = False, int8_pv: bool = False,
+                       qkv3: bool = False):
+    """Streams are (B, S, 3*H*d) fused lanes, or (3, B, S, H*d) each
+    when ``qkv3`` (contiguous low-pitch layout)."""
+    if qkv3:
+        _, b, s_txt, _ = txt_qkv.shape
+        s_img = img_qkv.shape[2]
+    else:
+        b, s_txt, _ = txt_qkv.shape
+        s_img = img_qkv.shape[1]
     bq = _bq(s_txt + s_img)
     st_pad = _round_up(s_txt, bq)
     si_pad = _round_up(s_img, bq)
@@ -420,8 +579,12 @@ def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
     st_t = _pad_rows(s2[:s_txt], st_pad)
     ci = _pad_rows(c2[s_txt:], si_pad)
     si_t = _pad_rows(s2[s_txt:], si_pad)
-    txt_qkv = _pad_seq(txt_qkv, st_pad)
-    img_qkv = _pad_seq(img_qkv, si_pad)
+    if qkv3:
+        txt_qkv = _pad_seq3(txt_qkv, st_pad)
+        img_qkv = _pad_seq3(img_qkv, si_pad)
+    else:
+        txt_qkv = _pad_seq(txt_qkv, st_pad)
+        img_qkv = _pad_seq(img_qkv, si_pad)
     t_tiles = st_pad // bq
     i_tiles = si_pad // bq
     n_q = t_tiles + i_tiles
@@ -431,30 +594,40 @@ def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
     qi_row = lambda iq: jnp.clip(iq - t_tiles, 0, i_tiles - 1)  # noqa: E731
     out_spec = pl.BlockSpec((1, bq, 128), lambda b_, h, iq: (b_, iq, h),
                             memory_space=pltpu.VMEM)
-    kv_dtype = jnp.int8 if int8_qk else txt_qkv.dtype
+    dtype = txt_qkv.dtype
+    kv_dtype = jnp.int8 if int8_qk else dtype
     scratch = [pltpu.VMEM((st_pad, 128), kv_dtype),
                pltpu.VMEM((si_pad, 128), kv_dtype)]
     if int8_qk:
         scratch += [pltpu.SMEM((1, 1), jnp.float32),
                     pltpu.SMEM((1, 1), jnp.float32)]
+    if int8_pv:
+        scratch += [pltpu.VMEM((st_pad, 128), jnp.int8),
+                    pltpu.VMEM((si_pad, 128), jnp.int8),
+                    pltpu.VMEM((1, 128), jnp.float32),
+                    pltpu.VMEM((1, 128), jnp.float32)]
+    if qkv3:
+        lane = lambda which, rows, rmap: _lane_block3(which, rows, rmap)  # noqa: E731
+    else:
+        lane = lambda which, rows, rmap: _lane_block(heads, which, rows,  # noqa: E731
+                                                     rmap)
     out = pl.pallas_call(
         functools.partial(_joint_kernel, t_tiles=t_tiles, bq=bq,
                           masked=masked, prescale=prescale,
-                          int8_qk=int8_qk),
+                          int8_qk=int8_qk, int8_pv=int8_pv),
         grid=(b, heads, n_q),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _lane_block(heads, 0, bq, qt_row),
-                  _lane_block(heads, 0, bq, qi_row),
-                  _lane_block(heads, 1, st_pad, kv_row),
-                  _lane_block(heads, 1, si_pad, kv_row),
-                  _lane_block(heads, 2, st_pad, kv_row),
-                  _lane_block(heads, 2, si_pad, kv_row),
+                  lane(0, bq, qt_row),
+                  lane(0, bq, qi_row),
+                  lane(1, st_pad, kv_row),
+                  lane(1, si_pad, kv_row),
+                  lane(2, st_pad, kv_row),
+                  lane(2, si_pad, kv_row),
                   _tab_spec(st_pad), _tab_spec(st_pad),
                   _tab_spec(si_pad), _tab_spec(si_pad),
                   _W_SPEC, _W_SPEC, _W_SPEC, _W_SPEC, _P_SPEC],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, st_pad + si_pad, hd),
-                                       txt_qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, st_pad + si_pad, hd), dtype),
         scratch_shapes=scratch,
         interpret=interpret,
         **_flash_params(heads, bq, st_pad + si_pad, b, n_q),
@@ -467,14 +640,20 @@ def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
 
 
 def _fused_single_impl(proj, wq, wk, cos, sin, *, heads: int,
-                       interpret: bool, int8_qk: bool = False):
-    b, s, _ = proj.shape
+                       interpret: bool, int8_qk: bool = False,
+                       int8_pv: bool = False, qkv3: bool = False):
+    """``proj``: (B, S, >=3*H*d) fused lanes, or (3, B, S, H*d) when
+    ``qkv3`` (the contiguous low-pitch layout — see qkv3_from_lanes)."""
+    if qkv3:
+        _, b, s, _ = proj.shape
+    else:
+        b, s, _ = proj.shape
     bq = _bq(s)
     s_pad = _round_up(s, bq)
     masked = s_pad != s
     prescale = LOG2_E / math.sqrt(128.0)
     c2, s2 = _expand_tables(cos, sin, 128)
-    proj = _pad_seq(proj, s_pad)
+    proj = _pad_seq3(proj, s_pad) if qkv3 else _pad_seq(proj, s_pad)
     n_q = s_pad // bq
     hd = heads * 128
     out_spec = pl.BlockSpec((1, bq, 128), lambda b_, h, iq: (b_, iq, h),
@@ -483,14 +662,23 @@ def _fused_single_impl(proj, wq, wk, cos, sin, *, heads: int,
                           jnp.int8 if int8_qk else proj.dtype)]
     if int8_qk:
         scratch.append(pltpu.SMEM((1, 1), jnp.float32))
+    if int8_pv:
+        scratch += [pltpu.VMEM((s_pad, 128), jnp.int8),
+                    pltpu.VMEM((1, 128), jnp.float32)]
+    if qkv3:
+        lane = lambda which, rows, rmap: _lane_block3(which, rows, rmap)  # noqa: E731
+    else:
+        lane = lambda which, rows, rmap: _lane_block(heads, which, rows,  # noqa: E731
+                                                     rmap)
     out = pl.pallas_call(
         functools.partial(_seq_kernel, bq=bq, masked=masked,
-                          prescale=prescale, int8_qk=int8_qk),
+                          prescale=prescale, int8_qk=int8_qk,
+                          int8_pv=int8_pv),
         grid=(b, heads, n_q),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  _lane_block(heads, 0, bq, lambda iq: iq),
-                  _lane_block(heads, 1, s_pad, lambda iq: 0),
-                  _lane_block(heads, 2, s_pad, lambda iq: 0),
+                  lane(0, bq, lambda iq: iq),
+                  lane(1, s_pad, lambda iq: 0),
+                  lane(2, s_pad, lambda iq: 0),
                   _tab_spec(s_pad), _tab_spec(s_pad),
                   _W_SPEC, _W_SPEC, _P_SPEC],
         out_specs=out_spec,
@@ -512,8 +700,12 @@ def _fused_single_impl(proj, wq, wk, cos, sin, *, heads: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_double(heads: int, head_dim: int, interpret: bool,
-                 int8_qk: bool = False):
+                 int8_qk: bool = False, int8_pv: bool = False,
+                 qkv3: bool = False):
     def ref(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin):
+        if qkv3:
+            txt_qkv = lanes_from_qkv3(txt_qkv)
+            img_qkv = lanes_from_qkv3(img_qkv)
         return _reference_double(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i,
                                  cos, sin, heads, head_dim)
 
@@ -521,7 +713,8 @@ def _make_double(heads: int, head_dim: int, interpret: bool,
     def f(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin):
         return _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i,
                                   cos, sin, heads=heads, interpret=interpret,
-                                  int8_qk=int8_qk)
+                                  int8_qk=int8_qk, int8_pv=int8_pv,
+                                  qkv3=qkv3)
 
     def fwd(*args):
         return f(*args), args
@@ -535,14 +728,18 @@ def _make_double(heads: int, head_dim: int, interpret: bool,
 
 @functools.lru_cache(maxsize=None)
 def _make_single(heads: int, head_dim: int, interpret: bool,
-                 int8_qk: bool = False):
+                 int8_qk: bool = False, int8_pv: bool = False,
+                 qkv3: bool = False):
     def ref(proj, wq, wk, cos, sin):
+        if qkv3:
+            proj = lanes_from_qkv3(proj)
         return _reference_single(proj, wq, wk, cos, sin, heads, head_dim)
 
     @jax.custom_vjp
     def f(proj, wq, wk, cos, sin):
         return _fused_single_impl(proj, wq, wk, cos, sin, heads=heads,
-                                  interpret=interpret, int8_qk=int8_qk)
+                                  interpret=interpret, int8_qk=int8_qk,
+                                  int8_pv=int8_pv, qkv3=qkv3)
 
     def fwd(*args):
         return f(*args), args
@@ -586,22 +783,30 @@ def mmdit_double_attention(txt_qkv, img_qkv, txt_qknorm, img_qknorm,
                            interpret: bool = False):
     """Joint [txt; img] attention from the two raw qkv GEMM outputs.
 
-    txt_qkv/img_qkv: (B, S, 3*heads*head_dim) fused projections;
+    txt_qkv/img_qkv: (B, S, 3*heads*head_dim) fused projections, or
+    (3, B, S, heads*head_dim) qkv3 layout (low-pitch DMA — see
+    qkv3_from_lanes; both streams must use the same form);
     *_qknorm: rmsnorm param dicts ({"q": {"scale"}, "k": {"scale"}});
     cos/sin: RoPE tables, (S_total, head_dim/2) or broadcast (1,1,S,D/2).
     Returns (txt_attn, img_attn) each (B, S, heads*head_dim).
     """
+    qkv3 = txt_qkv.ndim == 4
     wq_t, wk_t = txt_qknorm["q"]["scale"], txt_qknorm["k"]["scale"]
     wq_i, wk_i = img_qknorm["q"]["scale"], img_qknorm["k"]["scale"]
     cos2, sin2 = _squeeze_tables(cos, sin)
-    s_total = txt_qkv.shape[1] + img_qkv.shape[1]
+    s_axis = 2 if qkv3 else 1
+    s_total = txt_qkv.shape[s_axis] + img_qkv.shape[s_axis]
     if cos2 is None or not _fused_ok(head_dim, txt_qkv.dtype, s_total,
                                      interpret):
+        if qkv3:
+            txt_qkv = lanes_from_qkv3(txt_qkv)
+            img_qkv = lanes_from_qkv3(img_qkv)
         c = cos if cos.ndim == 4 else cos[None, None]
         s = sin if sin.ndim == 4 else sin[None, None]
         return _reference_double(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i,
                                  c[0, 0], s[0, 0], heads, head_dim)
-    return _make_double(heads, head_dim, interpret, _INT8_QK)(
+    return _make_double(heads, head_dim, interpret,
+                        _INT8_QK or _INT8_PV, _INT8_PV, qkv3)(
         txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos2, sin2)
 
 
@@ -610,16 +815,22 @@ def mmdit_single_attention(proj, qknorm, cos, sin, heads: int,
     """Attention over a single joint stream from the fused linear1 output.
 
     proj: (B, S, W) with q/k/v in the first 3*heads*head_dim lanes (the
-    trailing lanes — the single block's parallel MLP — are ignored here).
+    trailing lanes — the single block's parallel MLP — are ignored here),
+    or (3, B, S, heads*head_dim) qkv3 layout (low-pitch DMA).
     Returns (B, S, heads*head_dim).
     """
+    qkv3 = proj.ndim == 4
     wq, wk = qknorm["q"]["scale"], qknorm["k"]["scale"]
     cos2, sin2 = _squeeze_tables(cos, sin)
-    if cos2 is None or not _fused_ok(head_dim, proj.dtype, proj.shape[1],
+    s_len = proj.shape[2 if qkv3 else 1]
+    if cos2 is None or not _fused_ok(head_dim, proj.dtype, s_len,
                                      interpret):
+        if qkv3:
+            proj = lanes_from_qkv3(proj)
         c = cos if cos.ndim == 4 else cos[None, None]
         s = sin if sin.ndim == 4 else sin[None, None]
         return _reference_single(proj, wq, wk, c[0, 0], s[0, 0], heads,
                                  head_dim)
-    return _make_single(heads, head_dim, interpret, _INT8_QK)(
+    return _make_single(heads, head_dim, interpret,
+                        _INT8_QK or _INT8_PV, _INT8_PV, qkv3)(
         proj, wq, wk, cos2, sin2)

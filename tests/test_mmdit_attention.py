@@ -274,3 +274,178 @@ def test_single_int8_qk_close(rng, s):
     finally:
         mma.set_int8_qk(False)
     _close(got, want, atol=0.08)
+
+
+@pytest.mark.parametrize("s", [512, 96])
+def test_single_qkv3_matches_lanes(rng, s):
+    """The contiguous (3,B,S,H*d) qkv3 layout (round-4 DMA-pitch fix)
+    computes the identical attention as the fused-lane form."""
+    mlp = 4 * HEADS * HD
+    proj = _bf16(rng, (1, s, 3 * HEADS * HD + mlp))
+    qn = _qknorm(rng)
+    cos, sin = _tables(rng, s)
+    want = mma.mmdit_single_attention(proj, qn, cos, sin, HEADS, HD,
+                                      interpret=True)
+    qkv3 = mma.qkv3_from_lanes(proj[..., :3 * HEADS * HD], HEADS, HD)
+    assert qkv3.shape == (3, 1, s, HEADS * HD)
+    got = mma.mmdit_single_attention(qkv3, qn, cos, sin, HEADS, HD,
+                                     interpret=True)
+    _close(got, want, atol=0)
+    # round-trip helper consistency
+    np.testing.assert_array_equal(
+        np.asarray(mma.lanes_from_qkv3(qkv3)),
+        np.asarray(proj[..., :3 * HEADS * HD]))
+
+
+@pytest.mark.parametrize("s_txt,s_img", [(512, 512), (64, 192)])
+def test_double_qkv3_matches_lanes(rng, s_txt, s_img):
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = mma.mmdit_double_attention(
+        txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    got_t, got_i = mma.mmdit_double_attention(
+        mma.qkv3_from_lanes(txt_qkv, HEADS, HD),
+        mma.qkv3_from_lanes(img_qkv, HEADS, HD),
+        tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    _close(got_t, want_t, atol=0)
+    _close(got_i, want_i, atol=0)
+
+
+def test_qkv3_fallback_path(rng):
+    """qkv3 form also works through the unfused reference fallback
+    (forced via the force-reference context)."""
+    from domainrag_tpu.ops import attention as attn_mod
+    s = 96
+    proj = _bf16(rng, (1, s, 3 * HEADS * HD))
+    qn = _qknorm(rng)
+    cos, sin = _tables(rng, s)
+    want = _ref_single(proj, qn, cos, sin)
+    qkv3 = mma.qkv3_from_lanes(proj, HEADS, HD)
+    with attn_mod.dense_attention():
+        got = mma.mmdit_single_attention(qkv3, qn, cos, sin, HEADS, HD,
+                                         interpret=True)
+    _close(got, want, atol=0)
+
+
+def test_double_qkv3_gradients_exact(rng):
+    """custom_vjp in qkv3 form: backward equals the vjp of the unfused
+    composition chained through the layout transpose."""
+    s_txt, s_img = 64, 128
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+
+    def loss_fused(tq, iq):
+        t, i = mma.mmdit_double_attention(
+            mma.qkv3_from_lanes(tq, HEADS, HD),
+            mma.qkv3_from_lanes(iq, HEADS, HD),
+            tn, inorm, cos, sin, HEADS, HD, interpret=True)
+        return (jnp.sum(t.astype(jnp.float32) ** 2)
+                + jnp.sum(i.astype(jnp.float32) ** 2))
+
+    def loss_ref(tq, iq):
+        t, i = _ref_double(tq, iq, tn, inorm, cos, sin)
+        return (jnp.sum(t.astype(jnp.float32) ** 2)
+                + jnp.sum(i.astype(jnp.float32) ** 2))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(txt_qkv, img_qkv)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(txt_qkv, img_qkv)
+    # the qkv3 backward chains through the layout transpose, which gives
+    # XLA a DIFFERENT graph than the plain reference — rounding-level
+    # (bf16) agreement is the correct pin, not bitwise
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.05, rtol=0.05)
+
+
+@pytest.mark.parametrize("s_txt,s_img", [(512, 512), (64, 192)])
+def test_double_int8_pv_close(rng, s_txt, s_img):
+    """Full int8 attention (QK + P·V on the int8 MXU): P quantizes at
+    the constant scale 127 (shared-max exp2 makes the row max exactly
+    1), V per column, and the l-normalization uses the quantized row
+    sum so the output is an exact convex combination of quantized
+    rows. Pin a small absolute envelope vs the exact composition."""
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    mma.set_int8_pv(True)
+    try:
+        got_t, got_i = mma.mmdit_double_attention(
+            txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD,
+            interpret=True)
+    finally:
+        mma.set_int8_pv(False)
+    _close(got_t, want_t, atol=0.1)
+    _close(got_i, want_i, atol=0.1)
+    exact_t, _ = mma.mmdit_double_attention(
+        txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    assert np.abs(np.asarray(got_t, np.float32)
+                  - np.asarray(exact_t, np.float32)).max() > 0
+
+
+@pytest.mark.parametrize("s", [512, 96])
+def test_single_int8_pv_close(rng, s):
+    mlp = 4 * HEADS * HD
+    proj = _bf16(rng, (1, s, 3 * HEADS * HD + mlp))
+    qn = _qknorm(rng)
+    cos, sin = _tables(rng, s)
+    want = _ref_single(proj, qn, cos, sin)
+    mma.set_int8_pv(True)
+    try:
+        got = mma.mmdit_single_attention(proj, qn, cos, sin, HEADS, HD,
+                                         interpret=True)
+    finally:
+        mma.set_int8_pv(False)
+    _close(got, want, atol=0.1)
+
+
+def test_int8_qk_folded_dequant_matches_rescale(rng):
+    """The folded exp2(alpha·(s-m)) formulation must equal the explicit
+    dequant-then-softmax route: independent numpy recompute of the
+    int8-QK path for one (batch, head), bitwise identical quant grid."""
+    s = 128
+    proj = _bf16(rng, (1, s, 3 * HEADS * HD))
+    qn = _qknorm(rng)
+    cos, sin = _tables(rng, s)
+    mma.set_int8_qk(True)
+    try:
+        got = np.asarray(mma.mmdit_single_attention(
+            proj, qn, cos, sin, HEADS, HD, interpret=True), np.float32)
+    finally:
+        mma.set_int8_qk(False)
+    # numpy oracle: same quantizers, EXPLICIT dequant then f32 softmax
+    c2 = np.repeat(np.asarray(cos), 2, axis=-1)
+    s2 = np.stack([-np.asarray(sin), np.asarray(sin)],
+                  axis=-1).reshape(s, HD)
+    prescale = np.float32(mma.LOG2_E / np.sqrt(128.0))
+    pj = np.asarray(proj, np.float32)
+    for h in range(HEADS):
+        def nr(x, w, pre):
+            y = x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True)
+                            + mma._EPS)
+            y = (y * w).astype(np.float32)
+            y = y.astype("bfloat16").astype(np.float32)
+            sw = y[:, [j ^ 1 for j in range(HD)]]
+            r = y * c2 + sw * s2
+            return r * pre if pre is not None else r
+        qh = nr(pj[0, :, h * HD:(h + 1) * HD],
+                np.asarray(qn["q"]["scale"]), prescale)
+        kh = nr(pj[0, :, (HEADS + h) * HD:(HEADS + h + 1) * HD],
+                np.asarray(qn["k"]["scale"]), None)
+        vh = pj[0, :, (2 * HEADS + h) * HD:(2 * HEADS + h + 1) * HD]
+        sq = np.maximum(np.abs(qh).max(axis=-1, keepdims=True) / 127, 1e-12)
+        qq = np.clip(np.round(qh / sq), -127, 127)
+        sk = np.maximum(np.abs(kh).max() / 127, 1e-12)
+        kq = np.clip(np.round(kh / sk), -127, 127)
+        scores = (qq @ kq.T) * (sq * sk)          # explicit dequant
+        p = np.exp2(scores - scores.max(axis=1, keepdims=True))
+        want = (p @ vh.astype("bfloat16").astype(np.float32)
+                ) / p.sum(axis=1, keepdims=True)
+        np.testing.assert_allclose(got[0, :, h * HD:(h + 1) * HD], want,
+                                   atol=0.02, rtol=0.02)

@@ -1222,6 +1222,94 @@ def exp_w8a8situ():
               f"(scale {np.max(np.abs(base)):.2f})")
 
 
+def exp_attn8():
+    """Round-4: fused attention kernel modes at the 1024 px Flux shape —
+    bf16 vs folded-dequant int8 QK vs full int8 (QK + P·V). Per-layer
+    slope times + on-chip max deviation vs the bf16 fused path."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    s_txt, s_img = 512, 4096
+    cfg = flux.FLUX_DEV
+    ids = np.concatenate([flux.make_text_ids(s_txt),
+                          flux.make_image_ids(64, 64)])
+    cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim, cfg.theta)
+    tn = {"q": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                     jnp.float32)},
+          "k": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                     jnp.float32)}}
+    inorm = {"q": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                        jnp.float32)},
+             "k": {"scale": jnp.asarray(rng.uniform(0.5, 1.5, (hd,)),
+                                        jnp.float32)}}
+    txt_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_txt, 3 * h)),
+                          jnp.bfloat16)
+    img_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_img, 3 * h)),
+                          jnp.bfloat16)
+    proj = jnp.asarray(0.3 * rng.standard_normal((1, s_txt + s_img, 7 * h)),
+                       jnp.bfloat16)
+
+    def chain_double(chain):
+        @jax.jit
+        def f(tq, iq):
+            for _ in range(chain):
+                t, i = mma.mmdit_double_attention(tq, iq, tn, inorm, cos,
+                                                  sin, heads, hd)
+                tq = jnp.concatenate([t, t, t], axis=-1)
+                iq = jnp.concatenate([i, i, i], axis=-1)
+            return tq
+        return lambda: f(txt_qkv, img_qkv)
+
+    def chain_single(chain):
+        @jax.jit
+        def f(p):
+            for _ in range(chain):
+                o = mma.mmdit_single_attention(p, tn, cos, sin, heads, hd)
+                p = jnp.tile(o, (1, 1, 7))
+            return p
+        return lambda: f(proj)
+
+    @jax.jit
+    def one_double(tq, iq):
+        return mma.mmdit_double_attention(tq, iq, tn, inorm, cos, sin,
+                                          heads, hd)
+
+    print("== int8 attention modes @1024 px shape (per-layer slope) ==",
+          flush=True)
+    base = None
+    results = {}
+    for name, qk, pv in (("bf16", False, False),
+                         ("int8qk-folded", True, False),
+                         ("int8qk+pv", True, True)):
+        mma.set_int8_qk(qk)
+        mma.set_int8_pv(pv)
+        try:
+            td = _slope_time(chain_double, c_lo=4, c_hi=16)
+            ts = _slope_time(chain_single, c_lo=4, c_hi=16)
+            ot, oi = one_double(txt_qkv, img_qkv)
+            val = np.asarray(oi, np.float32)
+        finally:
+            mma.set_int8_qk(False)
+            mma.set_int8_pv(False)
+        if base is None:
+            base = val
+        dev = float(np.max(np.abs(val - base)))
+        results[name] = (td, ts)
+        print(f"  {name:14s}: double {td*1e3:.2f} ms | single "
+              f"{ts*1e3:.2f} ms | 57-layer {(19*td+38*ts)*1e3:.0f} ms "
+              f"| max dev vs bf16 {dev:.4f}", flush=True)
+    td0, ts0 = results["bf16"]
+    for name in ("int8qk-folded", "int8qk+pv"):
+        td, ts = results[name]
+        print(f"  {name} step delta: "
+              f"{(19*(td0-td)+38*(ts0-ts))*1e3:+.0f} ms")
+
+
 def exp_vae():
     """Where do the 0.56 s of 1024 px VAE decode go? ~6.5 TFLOP of convs
     should take ~35 ms at peak — measure the full decode with slope
@@ -1337,6 +1425,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print("backend:", jax.default_backend(), jax.devices())
     which = sys.argv[1:] or ["all"]
+    if "attn8" in which:
+        exp_attn8()
     if "gemm" in which:
         exp_gemm()
     if "gemm2" in which:
