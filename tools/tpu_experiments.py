@@ -1254,11 +1254,18 @@ def exp_attn8():
     proj = jnp.asarray(0.3 * rng.standard_normal((1, s_txt + s_img, 7 * h)),
                        jnp.bfloat16)
 
+    _QKV3 = [False]
+
     def chain_double(chain):
+        qkv3 = _QKV3[0]
+
         @jax.jit
         def f(tq, iq):
             for _ in range(chain):
-                t, i = mma.mmdit_double_attention(tq, iq, tn, inorm, cos,
+                at, ai = (mma.qkv3_from_lanes(tq, heads, hd),
+                          mma.qkv3_from_lanes(iq, heads, hd)) \
+                    if qkv3 else (tq, iq)
+                t, i = mma.mmdit_double_attention(at, ai, tn, inorm, cos,
                                                   sin, heads, hd)
                 tq = jnp.concatenate([t, t, t], axis=-1)
                 iq = jnp.concatenate([i, i, i], axis=-1)
@@ -1266,10 +1273,14 @@ def exp_attn8():
         return lambda: f(txt_qkv, img_qkv)
 
     def chain_single(chain):
+        qkv3 = _QKV3[0]
+
         @jax.jit
         def f(p):
             for _ in range(chain):
-                o = mma.mmdit_single_attention(p, tn, cos, sin, heads, hd)
+                a = (mma.qkv3_from_lanes(p[..., :3 * h], heads, hd)
+                     if qkv3 else p)
+                o = mma.mmdit_single_attention(a, tn, cos, sin, heads, hd)
                 p = jnp.tile(o, (1, 1, 7))
             return p
         return lambda: f(proj)
@@ -1279,15 +1290,20 @@ def exp_attn8():
         return mma.mmdit_double_attention(tq, iq, tn, inorm, cos, sin,
                                           heads, hd)
 
-    print("== int8 attention modes @1024 px shape (per-layer slope) ==",
-          flush=True)
+    print("== attention kernel modes @1024 px shape (per-layer slope; "
+          "qkv3 rows INCLUDE the layout transpose) ==", flush=True)
     base = None
     results = {}
-    for name, qk, pv in (("bf16", False, False),
-                         ("int8qk-folded", True, False),
-                         ("int8qk+pv", True, True)):
+    modes = (("bf16", False, False, False),
+             ("bf16-qkv3", False, False, True),
+             ("int8qk-folded", True, False, False),
+             ("int8qk-qkv3", True, False, True),
+             ("int8qk+pv", True, True, False),
+             ("int8qk+pv-qkv3", True, True, True))
+    for name, qk, pv, qkv3 in modes:
         mma.set_int8_qk(qk)
         mma.set_int8_pv(pv)
+        _QKV3[0] = qkv3
         try:
             td = _slope_time(chain_double, c_lo=4, c_hi=16)
             ts = _slope_time(chain_single, c_lo=4, c_hi=16)
@@ -1296,15 +1312,16 @@ def exp_attn8():
         finally:
             mma.set_int8_qk(False)
             mma.set_int8_pv(False)
+            _QKV3[0] = False
         if base is None:
             base = val
         dev = float(np.max(np.abs(val - base)))
         results[name] = (td, ts)
-        print(f"  {name:14s}: double {td*1e3:.2f} ms | single "
+        print(f"  {name:15s}: double {td*1e3:.2f} ms | single "
               f"{ts*1e3:.2f} ms | 57-layer {(19*td+38*ts)*1e3:.0f} ms "
               f"| max dev vs bf16 {dev:.4f}", flush=True)
     td0, ts0 = results["bf16"]
-    for name in ("int8qk-folded", "int8qk+pv"):
+    for name, _, _, _ in modes[1:]:
         td, ts = results[name]
         print(f"  {name} step delta: "
               f"{(19*(td0-td)+38*(ts0-ts))*1e3:+.0f} ms")
