@@ -109,10 +109,9 @@ def _build_cfg(args) -> PipelineConfig:
         resolution=ResolutionPolicy(max_dimension=args.max_dimension),
         num_steps=args.steps,
         dataset_params=dataset_params,
-        # fill takes int or explicit anchors ("auto"/"sched:" calibration
-        # is generate-shaped)
-        velocity_cache_interval=(vci if isinstance(vci, (int, tuple))
-                                 else 1),
+        # fill takes every form — "auto"/"sched:K" calibrate ON the fill
+        # core against the call's own first sample (calibrate_fill_vcache)
+        velocity_cache_interval=vci,
         velocity_cache_order=getattr(args, "velocity_cache_order", 1))
     from ..core.config import MeshConfig
     return PipelineConfig(

@@ -217,9 +217,12 @@ class ComposeConfig:
     # (outpainting_updown_sampling_redux.py:72-82,104-108). 0 disables.
     hires_threshold_px: int = 2048 * 2048
     # EXPERIMENTAL velocity-extrapolation caching on the fill denoise
-    # (see FluxSamplingConfig.velocity_cache_interval). Integer or an
-    # explicit anchor tuple — "auto"/"sched:" calibration probes the
-    # unconditioned generate path.
+    # (see FluxSamplingConfig.velocity_cache_interval). Integer, an
+    # explicit anchor tuple, "auto" (budgeted uniform interval), or
+    # "sched:K" (DP-planned anchors) — the string forms calibrate ON the
+    # fill core per (model, resolution, steps, strength, guidance), so
+    # the per-dataset strengths shape the schedule
+    # (pipeline.calibrate_fill_vcache).
     velocity_cache_interval: object = 1
     velocity_cache_order: int = 1
 

@@ -1084,6 +1084,147 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
+                     "tiled_vae", "vae_tile", "vae_overlap",
+                     "vcache_interval", "vcache_order", "record"))
+def _fill_probe_core(flux_params, vae_params, image, mask, noise,
+                     prompt_embeds, pooled, sigmas, guidance,
+                     cfg: flux_mod.FluxConfig, vae_cfg: vae_mod.VaeConfig,
+                     grid_h: int, grid_w: int, tp_tag: str = "none",
+                     tiled_vae: bool = False, vae_tile: int = 96,
+                     vae_overlap: int = 16, vcache_interval=1,
+                     vcache_order: int = 1, record: bool = False):
+    """Calibration probe on the FILL core: the same conditioning +
+    strength-trimmed denoise as :func:`_fill_core` but returning final
+    latent TOKENS (no VAE decode — calibration compares latents).
+    ``record=True`` runs the dense loop and additionally returns the
+    per-step velocities for :func:`plan_vcache_anchors` (the fill-regime
+    counterpart of :func:`_record_velocities`, VERDICT r3 item 3)."""
+    latents, cond = _fill_conditioning(vae_params, image, mask, noise,
+                                       sigmas, vae_cfg, tiled_vae,
+                                       vae_tile, vae_overlap)
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    base_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                              guidance, img_ids, txt_ids, cfg)
+    model_fn = lambda x, sigma: base_fn(  # noqa: E731
+        jnp.concatenate([x, cond], axis=-1), sigma)
+    if record:
+        def step(x, i):
+            v = model_fn(x, sigmas[i]).astype(jnp.float32)
+            return sched_mod.euler_step(x, v, sigmas[i],
+                                        sigmas[i + 1]), v
+
+        out, vs = jax.lax.scan(step, latents,
+                               jnp.arange(sigmas.shape[0] - 1))
+        return out, vs
+    return _pick_denoise(model_fn, latents, sigmas, vcache_interval,
+                         vcache_order)
+
+
+_FILL_VCACHE_CALIBRATIONS: dict = {}
+
+
+def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
+                          prompt_embeds, pooled, sigmas, guidance: float,
+                          grid_h: int, grid_w: int, *, form: str,
+                          tiled_vae: bool = False, vae_tile: int = 96,
+                          vae_overlap: int = 16,
+                          divergence_budget: float = 0.05,
+                          candidates=(4, 3, 2)):
+    """Velocity-cache calibration ON the fill regime (VERDICT r3 item 3:
+    the compose stage — the reference's headline workload,
+    outpainting_updown_sampling_redux.py:1246-1257 — previously got only
+    blind integers because the generate-path calibration refused fill).
+
+    Probes a SINGLE sample of the actual call (its own image, mask,
+    prompt, strength-trimmed sigmas — so the per-dataset strengths of
+    outpainting_updown_sampling_redux.py:31-56 shape the schedule):
+
+    - ``form="auto"``: one dense probe (exact final latents) + up to
+      ``len(candidates)`` cached fill denoises; returns the largest
+      uniform interval whose final-latent rel-L2 stays within
+      ``divergence_budget`` (1 when none fits).
+    - ``form="sched:K"``: ONE dense probe recording velocities, then the
+      anchor DP (:func:`plan_vcache_anchors`) at uniform-K model-call
+      parity over the TRIMMED step count; returns an anchor tuple.
+    """
+    from ...core.log import get_logger
+    n_steps = int(sigmas.shape[0]) - 1
+    kw = dict(cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg, grid_h=grid_h,
+              grid_w=grid_w, tp_tag=_tp_tag(bundle), tiled_vae=tiled_vae,
+              vae_tile=vae_tile, vae_overlap=vae_overlap)
+    with _tp_context(bundle):
+        exact, vs = _fill_probe_core(
+            bundle.flux_params, bundle.vae_params, image, mask, noise,
+            prompt_embeds, pooled, sigmas, jnp.float32(guidance),
+            record=True, **kw)
+        exact = np.asarray(exact, np.float32)
+        if form.startswith("sched:"):
+            k = int(form.split(":", 1)[1])
+            if k <= 1:
+                return 1
+            n_anchors = -(-n_steps // k)
+            if n_anchors >= n_steps:
+                return 1
+            anchors = plan_vcache_anchors(
+                np.asarray(vs, np.float32), np.asarray(sigmas), n_anchors)
+            get_logger("domainrag_tpu.flux").info(
+                "fill velocity-cache schedule calibration @%dx%d grid/"
+                "%d trimmed steps: %d anchors -> %s", grid_w, grid_h,
+                n_steps, n_anchors, anchors)
+            return anchors
+        norm = float(np.linalg.norm(exact)) or 1.0
+        curve = {}
+        chosen = 1
+        for interval in sorted(candidates, reverse=True):
+            if interval >= n_steps:
+                continue
+            cached = np.asarray(_fill_probe_core(
+                bundle.flux_params, bundle.vae_params, image, mask,
+                noise, prompt_embeds, pooled, sigmas,
+                jnp.float32(guidance), vcache_interval=int(interval),
+                **kw), np.float32)
+            rel = float(np.linalg.norm(cached - exact)) / norm
+            curve[int(interval)] = rel
+            if rel <= divergence_budget and chosen == 1:
+                chosen = int(interval)
+    get_logger("domainrag_tpu.flux").info(
+        "fill velocity-cache calibration @%dx%d grid/%d trimmed steps: "
+        "divergence %s, budget %.3f -> interval %d", grid_w, grid_h,
+        n_steps, {k_: round(v_, 4) for k_, v_ in sorted(curve.items())},
+        divergence_budget, chosen)
+    return chosen
+
+
+def _resolve_fill_vcache(bundle, form: str, image, mask, noise,
+                         prompt_embeds, pooled, sigmas, guidance,
+                         grid_h, grid_w, tiled_vae, vae_tile, vae_overlap,
+                         height, width, num_steps, strength,
+                         divergence_budget: float):
+    """Resolve ``"auto"`` / ``"sched:K"`` for :func:`fill_batch` via a
+    one-time :func:`calibrate_fill_vcache` of THIS call's first sample,
+    cached process-wide per (model, resolution, steps, strength,
+    guidance, form) — strength is in the key because it trims the sigma
+    schedule the anchors index into."""
+    if form != "auto" and not form.startswith("sched:"):
+        raise ValueError(
+            f"velocity_cache_interval string form must be 'auto' or "
+            f"'sched:K': {form!r}")
+    key = (_params_token(bundle), height, width, num_steps,
+           round(float(strength), 6), round(float(guidance), 6),
+           "fill-" + form, round(float(divergence_budget), 6))
+    if key not in _FILL_VCACHE_CALIBRATIONS:
+        _FILL_VCACHE_CALIBRATIONS[key] = calibrate_fill_vcache(
+            bundle, image, mask, noise, prompt_embeds, pooled, sigmas,
+            guidance, grid_h, grid_w, form=form, tiled_vae=tiled_vae,
+            vae_tile=vae_tile, vae_overlap=vae_overlap,
+            divergence_budget=divergence_budget)
+    return _FILL_VCACHE_CALIBRATIONS[key]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "axis",
                      "microbatches", "mesh", "d", "g", "n_stages",
                      "tiled_vae", "vae_tile", "vae_overlap",
@@ -1144,7 +1285,8 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
                hires_threshold_px: int = 2048 * 2048,
                vae_tile: int = 96, vae_overlap: int = 16,
                velocity_cache_interval: int = 1,
-               velocity_cache_order: int = 1) -> np.ndarray:
+               velocity_cache_order: int = 1,
+               vcache_divergence_budget: float = 0.05) -> np.ndarray:
     """Batched Fill over same-shape samples: images (B, H, W, 3) uint8,
     masks (B, H, W) uint8, prompt_embeds (B, S, D), pooled (B, P), one
     seed per row. The whole batch denoises in one compiled graph; with
@@ -1162,17 +1304,22 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
     accelerator (_vcache_denoise): the transformer runs every N-th step
     and skipped steps integrate an extrapolated velocity — a full N× on
     the denoise, composing with DP/TP/SP and PP. EXPERIMENTAL (outputs
-    change; quality curves in BENCH_NOTES.md). Integer or an explicit
-    anchor tuple here — "auto"/"sched:K" calibration probes the
-    unconditioned generate path and would mis-state the fill regime's
-    divergence."""
+    change; quality curves in BENCH_NOTES.md). Forms: integer (uniform
+    interval), explicit anchor tuple over this call's strength-trimmed
+    step indices, ``"auto"`` (largest uniform interval within
+    ``vcache_divergence_budget``, calibrated ON the fill core against
+    this call's own first sample), or ``"sched:K"`` (DP-planned anchors
+    at uniform-K model-call parity from a recorded fill-core velocity
+    probe) — see :func:`calibrate_fill_vcache`."""
     # int = uniform interval; tuple = explicit anchor schedule over THIS
-    # call's (strength-trimmed) step indices. No "auto"/"sched:" here —
-    # those calibrate the unconditioned generate path and would
-    # mis-state the fill regime's divergence.
+    # call's (strength-trimmed) step indices; "auto"/"sched:K" calibrate
+    # on the FILL core below (fill conditioning + trimmed sigmas), not
+    # the generate path.
     velocity_cache_interval = (
         tuple(int(a) for a in velocity_cache_interval)
         if isinstance(velocity_cache_interval, (list, tuple))
+        else velocity_cache_interval
+        if isinstance(velocity_cache_interval, str)
         else int(velocity_cache_interval))
     b, h, w = images.shape[:3]
     lf = bundle.latent_factor
@@ -1190,6 +1337,13 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
         for s in seeds]).astype(bundle.compute_dtype)
     embeds = prompt_embeds.astype(bundle.compute_dtype)
     pooled_c = pooled.astype(bundle.compute_dtype)
+
+    if isinstance(velocity_cache_interval, str):
+        velocity_cache_interval = _resolve_fill_vcache(
+            bundle, velocity_cache_interval, img[:1], m[:1], noise[:1],
+            embeds[:1], pooled_c[:1], jnp.asarray(schedule.sigmas),
+            guidance, grid_h, grid_w, hires, vae_tile, vae_overlap,
+            h, w, num_steps, strength, vcache_divergence_budget)
 
     n_real = b
     if pipe_axis is not None:
