@@ -618,12 +618,20 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
                                    seed: int = 0,
                                    divergence_budget: float = 0.05,
                                    candidates=(4, 3, 2),
-                                   mode: str = "residual") -> int:
-    """Pick the largest cache interval whose final-latent relative L2
-    divergence from the exact denoise stays within ``divergence_budget``
-    (VERDICT r2 item 6: an interval chosen by a pinned divergence budget
-    instead of a blind flag). ``mode``: "residual" calibrates the
-    block-residual cache, "velocity" the velocity-extrapolation cache.
+                                   mode: str = "residual",
+                                   budget_space: str = "image") -> int:
+    """Pick the largest cache interval whose divergence from the exact
+    denoise stays within ``divergence_budget`` (VERDICT r2 item 6: an
+    interval chosen by a pinned divergence budget instead of a blind
+    flag). ``mode``: "residual" calibrates the block-residual cache,
+    "velocity" the velocity-extrapolation cache.
+
+    ``budget_space`` (VERDICT r3 item 1: the north star is FID-matched
+    IMAGES, so a budget keyed to latent norms is one step removed from
+    what a user sees): "image" (default) takes the relative L2 between
+    the VAE-DECODED probe images — the space the quality claim lives
+    in; "latent" preserves the round-3 final-latent metric. The log
+    records both curves either way.
 
     Runs one exact + up to len(candidates) cached denoises of a SINGLE
     sample at the call's own config — a one-time calibration per
@@ -631,6 +639,7 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
     when no candidate fits the budget."""
     from ...core.log import get_logger
     assert mode in ("residual", "velocity"), mode
+    assert budget_space in ("image", "latent"), budget_space
     lf = bundle.latent_factor
     grid_h, grid_w = height // lf, width // lf
     schedule = sched_mod.make_schedule(num_steps,
@@ -647,27 +656,35 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
     def probe(interval: int):
         kw = ({"cache_interval": interval} if mode == "residual"
               else {"vcache_interval": interval})
-        return np.asarray(_denoise_latents(
+        lat = _denoise_latents(
             bundle.flux_params, latents, e, p, sig, g,
             cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
-            tp_tag=_tp_tag(bundle), **kw), np.float32)
+            tp_tag=_tp_tag(bundle), **kw)
+        img = _decode_tokens(bundle.vae_params, lat, grid_h, grid_w,
+                             bundle.vae_cfg)
+        return (np.asarray(lat, np.float32), np.asarray(img, np.float32))
 
     with _tp_context(bundle):
-        exact = probe(1)
-        norm = float(np.linalg.norm(exact)) or 1.0
-        curve = {}
+        exact_lat, exact_img = probe(1)
+        norms = {"latent": float(np.linalg.norm(exact_lat)) or 1.0,
+                 "image": float(np.linalg.norm(exact_img)) or 1.0}
+        curve: dict = {}
         chosen = 1
         for interval in sorted(candidates, reverse=True):
-            cached = probe(int(interval))
-            rel = float(np.linalg.norm(cached - exact)) / norm
+            lat, img = probe(int(interval))
+            rel = {"latent": float(np.linalg.norm(lat - exact_lat))
+                   / norms["latent"],
+                   "image": float(np.linalg.norm(img - exact_img))
+                   / norms["image"]}
             curve[int(interval)] = rel
-            if rel <= divergence_budget and chosen == 1:
+            if rel[budget_space] <= divergence_budget and chosen == 1:
                 chosen = int(interval)
     get_logger("domainrag_tpu.flux").info(
         "%s-cache calibration @%dx%d/%d steps: divergence %s, budget "
-        "%.3f -> interval %d", mode, width, height, num_steps,
-        {k: round(v, 4) for k, v in sorted(curve.items())},
-        divergence_budget, chosen)
+        "%.3f on %s -> interval %d", mode, width, height, num_steps,
+        {k: {s: round(v2, 4) for s, v2 in v.items()}
+         for k, v in sorted(curve.items())},
+        divergence_budget, budget_space, chosen)
     return chosen
 
 
@@ -1131,7 +1148,8 @@ def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
                           tiled_vae: bool = False, vae_tile: int = 96,
                           vae_overlap: int = 16,
                           divergence_budget: float = 0.05,
-                          candidates=(4, 3, 2)):
+                          candidates=(4, 3, 2),
+                          budget_space: str = "image"):
     """Velocity-cache calibration ON the fill regime (VERDICT r3 item 3:
     the compose stage — the reference's headline workload,
     outpainting_updown_sampling_redux.py:1246-1257 — previously got only
@@ -1143,23 +1161,31 @@ def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
 
     - ``form="auto"``: one dense probe (exact final latents) + up to
       ``len(candidates)`` cached fill denoises; returns the largest
-      uniform interval whose final-latent rel-L2 stays within
-      ``divergence_budget`` (1 when none fits).
+      uniform interval whose rel-L2 divergence — measured on the
+      VAE-DECODED images by default (``budget_space="image"``, VERDICT
+      r3 item 1; ``"latent"`` preserves the final-latent metric) —
+      stays within ``divergence_budget`` (1 when none fits).
     - ``form="sched:K"``: ONE dense probe recording velocities, then the
       anchor DP (:func:`plan_vcache_anchors`) at uniform-K model-call
       parity over the TRIMMED step count; returns an anchor tuple.
     """
     from ...core.log import get_logger
+    assert budget_space in ("image", "latent"), budget_space
     n_steps = int(sigmas.shape[0]) - 1
     kw = dict(cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg, grid_h=grid_h,
               grid_w=grid_w, tp_tag=_tp_tag(bundle), tiled_vae=tiled_vae,
               vae_tile=vae_tile, vae_overlap=vae_overlap)
+
+    def decode(tokens):
+        return np.asarray(_decode_tokens(
+            bundle.vae_params, tokens, grid_h, grid_w, bundle.vae_cfg,
+            tiled_vae, vae_tile, vae_overlap), np.float32)
+
     with _tp_context(bundle):
         exact, vs = _fill_probe_core(
             bundle.flux_params, bundle.vae_params, image, mask, noise,
             prompt_embeds, pooled, sigmas, jnp.float32(guidance),
             record=True, **kw)
-        exact = np.asarray(exact, np.float32)
         if form.startswith("sched:"):
             k = int(form.split(":", 1)[1])
             if k <= 1:
@@ -1174,26 +1200,35 @@ def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
                 "%d trimmed steps: %d anchors -> %s", grid_w, grid_h,
                 n_steps, n_anchors, anchors)
             return anchors
-        norm = float(np.linalg.norm(exact)) or 1.0
-        curve = {}
+        exact_img = decode(exact)
+        exact_lat = np.asarray(exact, np.float32)
+        norms = {"latent": float(np.linalg.norm(exact_lat)) or 1.0,
+                 "image": float(np.linalg.norm(exact_img)) or 1.0}
+        curve: dict = {}
         chosen = 1
         for interval in sorted(candidates, reverse=True):
             if interval >= n_steps:
                 continue
-            cached = np.asarray(_fill_probe_core(
+            cached = _fill_probe_core(
                 bundle.flux_params, bundle.vae_params, image, mask,
                 noise, prompt_embeds, pooled, sigmas,
                 jnp.float32(guidance), vcache_interval=int(interval),
-                **kw), np.float32)
-            rel = float(np.linalg.norm(cached - exact)) / norm
+                **kw)
+            rel = {"latent": float(np.linalg.norm(
+                       np.asarray(cached, np.float32) - exact_lat))
+                   / norms["latent"],
+                   "image": float(np.linalg.norm(
+                       decode(cached) - exact_img)) / norms["image"]}
             curve[int(interval)] = rel
-            if rel <= divergence_budget and chosen == 1:
+            if rel[budget_space] <= divergence_budget and chosen == 1:
                 chosen = int(interval)
     get_logger("domainrag_tpu.flux").info(
         "fill velocity-cache calibration @%dx%d grid/%d trimmed steps: "
-        "divergence %s, budget %.3f -> interval %d", grid_w, grid_h,
-        n_steps, {k_: round(v_, 4) for k_, v_ in sorted(curve.items())},
-        divergence_budget, chosen)
+        "divergence %s, budget %.3f on %s -> interval %d", grid_w,
+        grid_h, n_steps,
+        {k_: {s: round(v2, 4) for s, v2 in v_.items()}
+         for k_, v_ in sorted(curve.items())},
+        divergence_budget, budget_space, chosen)
     return chosen
 
 

@@ -97,9 +97,11 @@ def main() -> None:
         (batch, cfg.pooled_dim)), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames=("grid",))
-    def decode_and_extract(tokens, grid):
+    def _decode_and_extract(vae_params, clip_params, tokens, grid):
         """final latents (B, S, C) -> CLIP features (B, D): VAE decode,
-        resize to the CLIP input, extract. One fused graph per grid."""
+        resize to the CLIP input, extract. One fused graph per grid.
+        Params are ARGUMENTS (closure constants blow the axon tunnel's
+        compile-payload limit: HTTP 413 on remote_compile)."""
         lat = flux.unpack_latents(tokens.astype(jnp.float32), grid, grid)
         img = vae_mod.decode(vae_params, lat, vae_cfg)      # [-1, 1]
         img = jnp.clip(img, -1.0, 1.0)
@@ -108,6 +110,10 @@ def main() -> None:
                   3), "linear")
         return clip_mod.apply_vision(clip_params, img.astype(jnp.float32),
                                      clip_cfg)
+
+    def decode_and_extract(tokens, grid):
+        return _decode_and_extract(vae_params, clip_params, tokens,
+                                   grid=grid)
 
     @functools.lru_cache(maxsize=None)
     def grid_setup(grid):
