@@ -68,6 +68,10 @@ _EPS = 1e-6             # qk-rmsnorm epsilon (models.common.rmsnorm)
 # unfused composition whose ops.attention flash path multi-passes KV and
 # is proven to 31k+ (tools/tpu_experiments.py exp_mmdithires).
 _MAX_ONEPASS = 17408
+# The multi-KV-pass variants (_seq_kernel_mp/_joint_kernel_mp, round 4)
+# carry the fusion past the one-pass ceiling with O(bq) VMEM; this bound
+# only marks the largest measured regime (the 2800 px cap is ~31k).
+_MAX_MULTIPASS = 49152
 
 # SageAttention-style int8 QK (arXiv:2410.02367's recipe, re-derived for
 # the TPU int8 MXU): after the in-kernel qk-rmsnorm+RoPE, quantize q per
@@ -498,6 +502,120 @@ def _joint_kernel(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref, vi_ref,
         o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _online_update(s, v, acc, m_buf, l_buf):
+    """One online-softmax accumulation step (ops.attention._flash_kernel
+    conventions: base-2 exponentials, (bq, 128)-replicated m/l buffers)."""
+    m_prev = m_buf[:]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    corr = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new[:, :1])
+    l_buf[:] = l_buf[:] * corr + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), m_prev.shape)
+    acc[:] = acc[:] * corr[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_buf[:] = m_new
+
+
+def _seq_kernel_mp(valid_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref,
+                   ck_ref, sk_ref, wq_ref, wk_ref, p_ref, o_ref,
+                   q_scr, acc, m_buf, l_buf,
+                   *, bkv: int, masked: bool, prescale: float):
+    """Multi-KV-pass variant of :func:`_seq_kernel` (VERDICT r3 item 4:
+    the 2800 px fill's ~31k-token joint sequence exceeds the one-pass
+    kernel's VMEM ceiling). Grid (B, H, n_q, n_kv), kv innermost: the
+    normed+roped q tile persists in scratch across the kv sweep, K/V
+    stream per tile with an online-softmax accumulator. K's norm+RoPE is
+    recomputed once per (q tile, kv tile) — O(S·128) elementwise against
+    the O(S·bq·128) score matmul it feeds."""
+    ik = pl.program_id(3)
+    n_k = pl.num_programs(3)
+    p_swap = p_ref[:]
+
+    @pl.when(ik == 0)
+    def _():
+        q_scr[:] = _norm_rope(_ld(q_ref), wq_ref[:], cq_ref[:], sq_ref[:],
+                              p_swap, prescale)
+        acc[:] = jnp.zeros_like(acc)
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+
+    kf = _norm_rope(_ld(k_ref), wk_ref[:], ck_ref[:], sk_ref[:],
+                    p_swap, None)
+    s = jax.lax.dot_general(q_scr[:], kf, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if masked:
+        kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + ik * bkv
+        s = jnp.where(kv_pos < valid_ref[0], s, NEG_INF)
+    _online_update(s, _ld(v_ref), acc, m_buf, l_buf)
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[0] = (acc[:] / jnp.maximum(l_buf[:][:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+def _joint_kernel_mp(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref,
+                     vi_ref, ct_ref, st_ref, ciq_ref, siq_ref, cik_ref,
+                     sik_ref, wqt_ref, wkt_ref, wqi_ref, wki_ref, p_ref,
+                     o_ref, q_scr, kt_scr, acc, m_buf, l_buf,
+                     *, t_tiles: int, bq: int, bkv: int, masked: bool,
+                     prescale: float):
+    """Multi-KV-pass variant of :func:`_joint_kernel`. The (small) txt
+    stream is folded whole into kv step 0 — its normed+roped K lives in
+    scratch once per (batch, head) exactly like the one-pass kernel —
+    and the img stream's K/V tiles stream through steps 1..n with the
+    online-softmax accumulator."""
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    n_k = pl.num_programs(3)
+    p_swap = p_ref[:]
+
+    @pl.when((iq == 0) & (ik == 0))
+    def _():
+        kt_scr[:] = _norm_rope(_ld(kt_ref), wkt_ref[:], ct_ref[:],
+                               st_ref[:], p_swap, None)
+
+    @pl.when(ik == 0)
+    def _():
+        is_txt = iq < t_tiles
+        q_raw = jnp.where(is_txt, _ld(qt_ref), _ld(qi_ref))
+        wq = jnp.where(is_txt, wqt_ref[:], wqi_ref[:])
+        off_t = jnp.minimum(iq, t_tiles - 1) * bq
+        cq = jnp.where(is_txt, ct_ref[pl.ds(off_t, bq)], ciq_ref[:])
+        sq = jnp.where(is_txt, st_ref[pl.ds(off_t, bq)], siq_ref[:])
+        q_scr[:] = _norm_rope(q_raw, wq, cq, sq, p_swap, prescale)
+        acc[:] = jnp.zeros_like(acc)
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        st_ = jax.lax.dot_general(q_scr[:], kt_scr[:],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if masked:
+            t_pos = jax.lax.broadcasted_iota(jnp.int32, st_.shape, 1)
+            st_ = jnp.where(t_pos < valid_ref[0], st_, NEG_INF)
+        _online_update(st_, _ld(vt_ref), acc, m_buf, l_buf)
+
+    @pl.when(ik > 0)
+    def _():
+        kf = _norm_rope(_ld(ki_ref), wki_ref[:], cik_ref[:], sik_ref[:],
+                        p_swap, None)
+        si = jax.lax.dot_general(q_scr[:], kf, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if masked:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1) \
+                + (ik - 1) * bkv
+            si = jnp.where(kv_pos < valid_ref[1], si, NEG_INF)
+        _online_update(si, _ld(vi_ref), acc, m_buf, l_buf)
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        o_ref[0] = (acc[:] / jnp.maximum(l_buf[:][:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
 def _lane_block(heads: int, which: int, rows: int, row_map):
     """BlockSpec for a (1, rows, 128) head slice of a (B, S, W) array whose
     lanes are [q | k | v | ...] in heads*128 groups; which = 0/1/2."""
@@ -557,6 +675,174 @@ def _w128(w):
 # fused implementations
 # ---------------------------------------------------------------------------
 
+def _mp_specs(heads: int, qkv3: bool):
+    """(lane, tab, w, p) BlockSpec builders for the 4D multipass grid;
+    row maps take (iq, ik) block indices."""
+    if qkv3:
+        def lane(which, rows, rmap):
+            return pl.BlockSpec(
+                (1, 1, rows, 128),
+                lambda b_, h, iq, ik: (which, b_, rmap(iq, ik), h),
+                memory_space=pltpu.VMEM)
+    else:
+        def lane(which, rows, rmap):
+            return pl.BlockSpec(
+                (1, rows, 128),
+                lambda b_, h, iq, ik: (b_, rmap(iq, ik),
+                                       which * heads + h),
+                memory_space=pltpu.VMEM)
+
+    def tab(rows, rmap):
+        return pl.BlockSpec((rows, 128),
+                            lambda b_, h, iq, ik: (rmap(iq, ik), 0),
+                            memory_space=pltpu.VMEM)
+
+    w = pl.BlockSpec((1, 128), lambda b_, h, iq, ik: (0, 0),
+                     memory_space=pltpu.VMEM)
+    p = pl.BlockSpec((128, 128), lambda b_, h, iq, ik: (0, 0),
+                     memory_space=pltpu.VMEM)
+    return lane, tab, w, p
+
+
+def _mp_params(heads, bq, s_kv_rows, b, n_q, n_kv):
+    return dict(
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n_q * bq * s_kv_rows * 128,
+            bytes_accessed=2 * b * heads
+            * (n_q * bq + 2 * n_q * s_kv_rows) * 128,
+            transcendentals=b * heads * n_q * bq * s_kv_rows),
+    )
+
+
+def _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
+                     *, heads: int, interpret: bool, qkv3: bool,
+                     bq: int = 512):
+    """Multi-KV-pass double-block fused attention for joint sequences
+    above the one-pass VMEM ceiling (the reference's 2800 px cap regime,
+    outpainting_updown_sampling_redux.py:104-108 — ~31k tokens). bf16
+    only; VMEM is O(bq) regardless of sequence length."""
+    if qkv3:
+        _, b, s_txt, _ = txt_qkv.shape
+        s_img = img_qkv.shape[2]
+    else:
+        b, s_txt, _ = txt_qkv.shape
+        s_img = img_qkv.shape[1]
+    bkv = bq
+    st_pad = _round_up(s_txt, bq)
+    si_pad = _round_up(s_img, bq)
+    masked = (st_pad != s_txt) or (si_pad != s_img)
+    prescale = LOG2_E / math.sqrt(128.0)
+    c2, s2 = _expand_tables(cos, sin, 128)
+    ct = _pad_rows(c2[:s_txt], st_pad)
+    st_t = _pad_rows(s2[:s_txt], st_pad)
+    ci = _pad_rows(c2[s_txt:], si_pad)
+    si_t = _pad_rows(s2[s_txt:], si_pad)
+    if qkv3:
+        txt_qkv = _pad_seq3(txt_qkv, st_pad)
+        img_qkv = _pad_seq3(img_qkv, si_pad)
+    else:
+        txt_qkv = _pad_seq(txt_qkv, st_pad)
+        img_qkv = _pad_seq(img_qkv, si_pad)
+    t_tiles = st_pad // bq
+    i_tiles = si_pad // bq
+    n_q = t_tiles + i_tiles
+    n_kv = 1 + si_pad // bkv           # step 0 = whole txt stream
+    hd = heads * 128
+    lane, tab, w_spec, p_spec = _mp_specs(heads, qkv3)
+    qt_row = lambda iq, ik: jnp.minimum(iq, t_tiles - 1)       # noqa: E731
+    qi_row = lambda iq, ik: jnp.clip(iq - t_tiles, 0,          # noqa: E731
+                                     i_tiles - 1)
+    kv_row = lambda iq, ik: jnp.clip(ik - 1, 0, n_kv - 2)      # noqa: E731
+    out_spec = pl.BlockSpec((1, bq, 128),
+                            lambda b_, h, iq, ik: (b_, iq, h),
+                            memory_space=pltpu.VMEM)
+    dtype = txt_qkv.dtype
+    out = pl.pallas_call(
+        functools.partial(_joint_kernel_mp, t_tiles=t_tiles, bq=bq,
+                          bkv=bkv, masked=masked, prescale=prescale),
+        grid=(b, heads, n_q, n_kv),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  lane(0, bq, qt_row),
+                  lane(0, bq, qi_row),
+                  lane(1, st_pad, lambda iq, ik: 0),
+                  lane(1, bkv, kv_row),
+                  lane(2, st_pad, lambda iq, ik: 0),
+                  lane(2, bkv, kv_row),
+                  tab(st_pad, lambda iq, ik: 0),
+                  tab(st_pad, lambda iq, ik: 0),
+                  tab(bq, qi_row), tab(bq, qi_row),
+                  tab(bkv, kv_row), tab(bkv, kv_row),
+                  w_spec, w_spec, w_spec, w_spec, p_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, st_pad + si_pad, hd), dtype),
+        scratch_shapes=[pltpu.VMEM((bq, 128), dtype),
+                        pltpu.VMEM((st_pad, 128), dtype),
+                        pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32)],
+        interpret=interpret,
+        **_mp_params(heads, bq, st_pad + si_pad, b, n_q, n_kv),
+    )(jnp.asarray([s_txt, s_img], jnp.int32),
+      txt_qkv, img_qkv, txt_qkv, img_qkv, txt_qkv, img_qkv,
+      ct, st_t, ci, si_t, ci, si_t,
+      _w128(wq_t), _w128(wk_t), _w128(wq_i), _w128(wk_i),
+      _pair_swap_matrix())
+    return out[:, :s_txt], out[:, st_pad:st_pad + s_img]
+
+
+def _fused_single_mp(proj, wq, wk, cos, sin, *, heads: int,
+                     interpret: bool, qkv3: bool, bq: int = 512):
+    """Multi-KV-pass single-block fused attention (see
+    :func:`_fused_double_mp`)."""
+    if qkv3:
+        _, b, s, _ = proj.shape
+    else:
+        b, s, _ = proj.shape
+    bkv = bq
+    s_pad = _round_up(s, bq)
+    masked = s_pad != s
+    prescale = LOG2_E / math.sqrt(128.0)
+    c2, s2 = _expand_tables(cos, sin, 128)
+    cp = _pad_rows(c2, s_pad)
+    sp = _pad_rows(s2, s_pad)
+    proj = _pad_seq3(proj, s_pad) if qkv3 else _pad_seq(proj, s_pad)
+    n_q = s_pad // bq
+    n_kv = s_pad // bkv
+    hd = heads * 128
+    lane, tab, w_spec, p_spec = _mp_specs(heads, qkv3)
+    out_spec = pl.BlockSpec((1, bq, 128),
+                            lambda b_, h, iq, ik: (b_, iq, h),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_seq_kernel_mp, bkv=bkv, masked=masked,
+                          prescale=prescale),
+        grid=(b, heads, n_q, n_kv),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  lane(0, bq, lambda iq, ik: iq),
+                  lane(1, bkv, lambda iq, ik: ik),
+                  lane(2, bkv, lambda iq, ik: ik),
+                  tab(bq, lambda iq, ik: iq),
+                  tab(bq, lambda iq, ik: iq),
+                  tab(bkv, lambda iq, ik: ik),
+                  tab(bkv, lambda iq, ik: ik),
+                  w_spec, w_spec, p_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), proj.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, 128), proj.dtype),
+                        pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32),
+                        pltpu.VMEM((bq, 128), jnp.float32)],
+        interpret=interpret,
+        **_mp_params(heads, bq, s_pad, b, n_q, n_kv),
+    )(jnp.asarray([s], jnp.int32), proj, proj, proj,
+      cp, sp, cp, sp, _w128(wq), _w128(wk), _pair_swap_matrix())
+    return out[:, :s]
+
+
 def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
                        *, heads: int, interpret: bool,
                        int8_qk: bool = False, int8_pv: bool = False,
@@ -569,6 +855,11 @@ def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
     else:
         b, s_txt, _ = txt_qkv.shape
         s_img = img_qkv.shape[1]
+    if s_txt + s_img > _MAX_ONEPASS:
+        assert not (int8_qk or int8_pv)   # dispatch gates int8 at 1-pass
+        return _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i,
+                                cos, sin, heads=heads,
+                                interpret=interpret, qkv3=qkv3)
     bq = _bq(s_txt + s_img)
     st_pad = _round_up(s_txt, bq)
     si_pad = _round_up(s_img, bq)
@@ -648,6 +939,10 @@ def _fused_single_impl(proj, wq, wk, cos, sin, *, heads: int,
         _, b, s, _ = proj.shape
     else:
         b, s, _ = proj.shape
+    if s > _MAX_ONEPASS:
+        assert not (int8_qk or int8_pv)   # dispatch gates int8 at 1-pass
+        return _fused_single_mp(proj, wq, wk, cos, sin, heads=heads,
+                                interpret=interpret, qkv3=qkv3)
     bq = _bq(s)
     s_pad = _round_up(s, bq)
     masked = s_pad != s
@@ -764,8 +1059,15 @@ def _squeeze_tables(cos, sin):
     return None, None
 
 
-def _fused_ok(head_dim: int, dtype, s_total: int, interpret: bool) -> bool:
-    if head_dim != 128 or dtype != jnp.bfloat16 or s_total > _MAX_ONEPASS:
+def _fused_ok(head_dim: int, dtype, s_total: int, interpret: bool,
+              int8: bool = False) -> bool:
+    # above the one-pass VMEM ceiling the bf16 path switches to the
+    # multi-KV-pass kernels (_fused_*_mp, O(bq) VMEM — no hard sequence
+    # ceiling; _MAX_MULTIPASS bounds the regime that has been measured);
+    # the int8 modes are one-pass only and fall back to the unfused
+    # composition beyond it
+    cap = _MAX_ONEPASS if int8 else _MAX_MULTIPASS
+    if head_dim != 128 or dtype != jnp.bfloat16 or s_total > cap:
         return False
     if getattr(_attn._FORCE_REFERENCE, "value", False):
         return False
@@ -797,7 +1099,7 @@ def mmdit_double_attention(txt_qkv, img_qkv, txt_qknorm, img_qknorm,
     s_axis = 2 if qkv3 else 1
     s_total = txt_qkv.shape[s_axis] + img_qkv.shape[s_axis]
     if cos2 is None or not _fused_ok(head_dim, txt_qkv.dtype, s_total,
-                                     interpret):
+                                     interpret, _INT8_QK or _INT8_PV):
         if qkv3:
             txt_qkv = lanes_from_qkv3(txt_qkv)
             img_qkv = lanes_from_qkv3(img_qkv)
@@ -824,7 +1126,7 @@ def mmdit_single_attention(proj, qknorm, cos, sin, heads: int,
     cos2, sin2 = _squeeze_tables(cos, sin)
     s_len = proj.shape[2 if qkv3 else 1]
     if cos2 is None or not _fused_ok(head_dim, proj.dtype, s_len,
-                                     interpret):
+                                     interpret, _INT8_QK or _INT8_PV):
         if qkv3:
             proj = lanes_from_qkv3(proj)
         c = cos if cos.ndim == 4 else cos[None, None]

@@ -215,9 +215,12 @@ def test_dispatch_falls_back_under_tp_and_sp(rng):
     _close(got_i, want_i)
 
 
-def test_max_onepass_gate_falls_back(rng, monkeypatch):
-    """Shapes above the measured one-pass VMEM ceiling must take the
-    unfused path (the 2800 px fill regime fails to COMPILE fused)."""
+def test_max_onepass_gate_routes_to_multipass(rng, monkeypatch):
+    """Shapes above the one-pass VMEM ceiling now dispatch to the
+    multi-KV-pass kernels (VERDICT r3 item 4: the 2800 px fill regime
+    previously lost the fusion win to the unfused fallback). Online
+    softmax reassociates the reduction, so the pin is closeness, not
+    bit equality."""
     monkeypatch.setattr(mma, "_MAX_ONEPASS", 128)
     s_txt, s_img = 64, 192            # 256 total > patched ceiling
     txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
@@ -227,8 +230,85 @@ def test_max_onepass_gate_falls_back(rng, monkeypatch):
     want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
     got_t, got_i = mma.mmdit_double_attention(
         txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
+    _close(got_t, want_t)
+    _close(got_i, want_i)
+
+
+def test_max_multipass_gate_falls_back(rng, monkeypatch):
+    """Above the largest MEASURED multipass regime the dispatcher still
+    takes the proven unfused path — bit-exactly."""
+    monkeypatch.setattr(mma, "_MAX_ONEPASS", 64)
+    monkeypatch.setattr(mma, "_MAX_MULTIPASS", 128)
+    s_txt, s_img = 64, 192            # 256 total > both ceilings
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    got_t, got_i = mma.mmdit_double_attention(
+        txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD, interpret=True)
     _close(got_t, want_t, atol=0)
     _close(got_i, want_i, atol=0)
+
+
+def test_int8_above_onepass_falls_back_exact(rng, monkeypatch):
+    """int8 modes are one-pass only: above the ceiling they must take
+    the exact unfused path, not the (bf16) multipass kernel."""
+    monkeypatch.setattr(mma, "_MAX_ONEPASS", 128)
+    s_txt, s_img = 64, 192
+    txt_qkv = _bf16(rng, (1, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (1, s_img, 3 * HEADS * HD))
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    cos, sin = _tables(rng, s_txt + s_img)
+    want_t, want_i = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    mma.set_int8_qk(True)
+    try:
+        got_t, got_i = mma.mmdit_double_attention(
+            txt_qkv, img_qkv, tn, inorm, cos, sin, HEADS, HD,
+            interpret=True)
+    finally:
+        mma.set_int8_qk(False)
+    _close(got_t, want_t, atol=0)
+    _close(got_i, want_i, atol=0)
+
+
+@pytest.mark.parametrize("s_txt,s_img,qkv3", [
+    (64, 256, False),     # block-aligned kv tiles
+    (64, 200, False),     # padded img stream: kv masking across tiles
+    (40, 200, True),      # qkv3 layout + both streams padded
+])
+def test_double_multipass_matches_reference(rng, s_txt, s_img, qkv3):
+    """The multi-KV-pass joint kernel == unfused composition at bf16
+    rounding, across tile-aligned, masked, and qkv3-layout shapes
+    (bq=64 so small shapes exercise SEVERAL kv passes)."""
+    cos, sin = _tables(rng, s_txt + s_img)
+    tn, inorm = _qknorm(rng), _qknorm(rng)
+    txt_qkv = _bf16(rng, (2, s_txt, 3 * HEADS * HD))
+    img_qkv = _bf16(rng, (2, s_img, 3 * HEADS * HD))
+    want = _ref_double(txt_qkv, img_qkv, tn, inorm, cos, sin)
+    at, ai = ((mma.qkv3_from_lanes(txt_qkv, HEADS, HD),
+               mma.qkv3_from_lanes(img_qkv, HEADS, HD))
+              if qkv3 else (txt_qkv, img_qkv))
+    got = mma._fused_double_mp(
+        at, ai, tn["q"]["scale"], tn["k"]["scale"],
+        inorm["q"]["scale"], inorm["k"]["scale"], cos, sin,
+        heads=HEADS, interpret=True, qkv3=qkv3, bq=64)
+    _close(got[0], want[0])
+    _close(got[1], want[1])
+
+
+@pytest.mark.parametrize("s,qkv3", [(256, False), (200, False),
+                                    (200, True)])
+def test_single_multipass_matches_reference(rng, s, qkv3):
+    cos, sin = _tables(rng, s)
+    qn = _qknorm(rng)
+    proj = _bf16(rng, (2, s, 3 * HEADS * HD))
+    want = _ref_single(proj, qn, cos, sin)
+    a = mma.qkv3_from_lanes(proj, HEADS, HD) if qkv3 else proj
+    got = mma._fused_single_mp(a, qn["q"]["scale"], qn["k"]["scale"],
+                               cos, sin, heads=HEADS, interpret=True,
+                               qkv3=qkv3, bq=64)
+    _close(got, want)
 
 
 @pytest.mark.parametrize("s_txt,s_img", [(512, 512), (64, 192)])

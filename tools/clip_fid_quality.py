@@ -73,10 +73,14 @@ def main() -> None:
     host = jax.tree_util.tree_map(
         lambda l: host_rng.standard_normal(l.shape).astype(np.float32)
         * 0.02, shapes)
-    params_bf16 = jax.device_put(jax.tree_util.tree_map(
-        lambda a: a.astype(ml_dtypes.bfloat16), host))
-    params_q = jax.device_put(quant.quantize_tree(host))
+    # HBM discipline (first chip run RESOURCE_EXHAUSTED with both trees
+    # resident): keep host copies, device_put per section, free between
+    host_bf16 = jax.tree_util.tree_map(
+        lambda a: a.astype(ml_dtypes.bfloat16), host)
+    host_q = quant.quantize_tree(host)
     del host
+    params_bf16 = jax.device_put(host_bf16)
+    params_q = None                       # materialized for modes_b
 
     # --- decoder + extractor: 16-ch VAE (matches in_channels 64 = 16x4)
     # and the repo's CLIP ViT-B/32 image tower, both random-init -------
@@ -101,15 +105,21 @@ def main() -> None:
         """final latents (B, S, C) -> CLIP features (B, D): VAE decode,
         resize to the CLIP input, extract. One fused graph per grid.
         Params are ARGUMENTS (closure constants blow the axon tunnel's
-        compile-payload limit: HTTP 413 on remote_compile)."""
-        lat = flux.unpack_latents(tokens.astype(jnp.float32), grid, grid)
-        img = vae_mod.decode(vae_params, lat, vae_cfg)      # [-1, 1]
-        img = jnp.clip(img, -1.0, 1.0)
-        img = jax.image.resize(
-            img, (img.shape[0], clip_cfg.image_size, clip_cfg.image_size,
-                  3), "linear")
-        return clip_mod.apply_vision(clip_params, img.astype(jnp.float32),
-                                     clip_cfg)
+        compile-payload limit: HTTP 413 on remote_compile); the batch
+        lax.maps per image (a batch-8 1024 px decode's activations next
+        to the resident param tree RESOURCE_EXHAUSTED the chip)."""
+        def one(tok):
+            lat = flux.unpack_latents(tok[None].astype(jnp.float32),
+                                      grid, grid)
+            img = vae_mod.decode(vae_params, lat, vae_cfg)  # [-1, 1]
+            img = jnp.clip(img, -1.0, 1.0)
+            img = jax.image.resize(
+                img, (1, clip_cfg.image_size, clip_cfg.image_size, 3),
+                "linear")
+            return clip_mod.apply_vision(
+                clip_params, img.astype(jnp.float32), clip_cfg)[0]
+
+        return jax.lax.map(one, tokens)
 
     def decode_and_extract(tokens, grid):
         return _decode_and_extract(vae_params, clip_params, tokens,
@@ -134,9 +144,10 @@ def main() -> None:
         return np.asarray(out, np.float32), np.asarray(feats, np.float64)
 
     # sched anchors: the pipeline's own DP planner on recorded proxy
-    # velocities (one dense probe per grid, n_anchors = ceil(steps/3))
-    @functools.lru_cache(maxsize=None)
-    def sched_anchors(grid):
+    # velocities (one dense probe per grid, n_anchors = ceil(steps/3)).
+    # Computed EAGERLY while the bf16 tree is resident — sections below
+    # swap param trees to keep one copy in HBM at a time.
+    def _sched_anchors(grid):
         sig, sig_np = grid_setup(grid)
         r = np.random.default_rng(0)
         lat = jnp.asarray(r.standard_normal(
@@ -146,29 +157,39 @@ def main() -> None:
             cfg=cfg, grid_h=grid, grid_w=grid), np.float32)
         return fp.plan_vcache_anchors(vs, sig_np, -(-steps // 3))
 
-    # mode order groups the int8-activation flag outermost —
-    # set_int8_activations clears every compiled cache (w8a8_quality.py)
-    modes_a = [("exact", params_bf16, {}),
-               ("int8w", params_q, {}),
-               ("vcache2", params_bf16, {"vc": 2}),
-               ("vcache3", params_bf16, {"vc": 3}),
-               ("vcache-sched3", params_bf16, {"vc": "sched"}),
-               ("bcache2", params_bf16, {"bc": 2}),
-               ("bcache3", params_bf16, {"bc": 3})]
-    modes_b = [("w8a8", params_q, {}),
-               ("w8a8+vcache2", params_q, {"vc": 2}),
-               ("w8a8+vcache3", params_q, {"vc": 3}),
-               ("w8a8+vcache-sched3", params_q, {"vc": "sched"})]
+    anchors = {g: _sched_anchors(g) for g in grids}
+    print(f"# sched anchors: {anchors}", flush=True)
+
+    # section order groups the param tree AND the int8-activation flag
+    # outermost (set_int8_activations clears every compiled cache)
+    sections = [
+        ("bf16", False, [("exact", {}), ("vcache2", {"vc": 2}),
+                         ("vcache3", {"vc": 3}),
+                         ("vcache-sched3", {"vc": "sched"}),
+                         ("bcache2", {"bc": 2}), ("bcache3", {"bc": 3})]),
+        ("int8w", False, [("int8w", {})]),
+        ("w8a8", True, [("w8a8", {}), ("w8a8+vcache2", {"vc": 2}),
+                        ("w8a8+vcache3", {"vc": 3}),
+                        ("w8a8+vcache-sched3", {"vc": "sched"})]),
+    ]
 
     latents_by, feats_by = {}, {}
-    for acts, modes in ((False, modes_a), (True, modes_b)):
+    params = params_bf16
+    del params_bf16
+    cur_tree = "bf16"
+    for tree, acts, modes in sections:
+        want = "bf16" if tree == "bf16" else "q"
+        if want != cur_tree:
+            del params                     # free bf16 before int8 lands
+            params = jax.device_put(host_q)
+            cur_tree = want
         _common.set_int8_activations(acts)
         try:
-            for mode, params, kw in modes:
+            for mode, kw in modes:
                 for grid in grids:
                     kw2 = dict(kw)
                     if kw2.get("vc") == "sched":
-                        kw2["vc"] = sched_anchors(grid)
+                        kw2["vc"] = anchors[grid]
                     for seed in seeds:
                         lat, feats = run_mode(params, grid, seed, **kw2)
                         latents_by[(mode, grid, seed)] = lat
@@ -180,7 +201,8 @@ def main() -> None:
     # --- metrics: CLIP-FID over the pooled set (seeds x batch images per
     # cell) + PAIRED per-image feature distance (robust at small N, the
     # primary number) + the latent rel-L2 cross-check vs round-3 ladders
-    all_modes = [m for m, _, _ in modes_a + modes_b if m != "exact"]
+    all_modes = [m for _, _, ms in sections for m, _ in ms
+                 if m != "exact"]
     for grid in grids:
         px = grid * 16
         ref_feats = np.concatenate([feats_by[("exact", grid, s)]

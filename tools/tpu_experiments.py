@@ -990,6 +990,45 @@ def exp_mmdithires():
         print(f"  double {s_txt}+{s_img}: fused {tf_*1e3:.2f} ms | "
               f"unfused {tr*1e3:.2f} ms", flush=True)
 
+        # single-block stream at the same joint length (the 38 single
+        # blocks also process the full fill sequence)
+        s_all = s_txt + s_img
+        proj = jnp.asarray(0.3 * rng.standard_normal((1, s_all, 3 * h)),
+                           jnp.bfloat16)
+
+        @jax.jit
+        def parity_s(p):
+            f = mma.mmdit_single_attention(p, qn, cos, sin, heads, hd)
+            r = mma._reference_single(p, wq, wk, cos, sin, heads, hd)
+            return jnp.max(jnp.abs(f.astype(jnp.float32)
+                                   - r.astype(jnp.float32)))
+
+        try:
+            e = float(parity_s(proj))
+            print(f"  single {s_all}: parity {e:.4f}", flush=True)
+        except Exception as ex:
+            print(f"  single {s_all}: FAILED {type(ex).__name__}: "
+                  f"{str(ex)[:200]}", flush=True)
+            continue
+
+        def chain_s(fn):
+            def make(c):
+                @jax.jit
+                def f(p):
+                    for _ in range(c):
+                        o = fn(p)
+                        p = jnp.concatenate([o, o, o], axis=-1)
+                    return p
+                return lambda: f(proj)
+            return make
+
+        tfs = _slope_time(chain_s(lambda p: mma.mmdit_single_attention(
+            p, qn, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        trs = _slope_time(chain_s(lambda p: mma._reference_single(
+            p, wq, wk, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        print(f"  single {s_all}: fused {tfs*1e3:.2f} ms | "
+              f"unfused {trs*1e3:.2f} ms", flush=True)
+
 
 def exp_mmditsitu():
     """End-to-end in-situ check of the fused MMDiT attention: run the
