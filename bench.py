@@ -533,6 +533,17 @@ def main() -> None:
                  holder, cfg)
     elif os.environ.get("BENCH_HIRES", "0") == "1":
         result["hires2048_skipped"] = "proxy mode (set BENCH_QUANT=1)"
+    # train/retrscale run LAST: the train section's proxy params + grads
+    # + f32 Adam moments (~11 GB at depth 2,3) and the 500k-row f32 bank
+    # (~1 GB) do not fit HBM next to the full 12 GB int8 weights, so the
+    # headline weights must be released first (they live in the hires
+    # holder by this point; in proxy mode they were never the full 12 GB).
+    if (os.environ.get("BENCH_TRAIN", "0") == "1"
+            or os.environ.get("BENCH_RETRSCALE", "0") == "1"):
+        if quantized:
+            holder.clear()
+    _section("BENCH_TRAIN", "0", "train", bench_train_step)
+    _section("BENCH_RETRSCALE", "0", "retrscale", bench_retrieval_scale)
     if on_tpu:
         _done.set()
         _emit()
@@ -800,6 +811,51 @@ def bench_hires_fill(holder, cfg) -> dict:
             # exception's traceback pins the params through the inner
             # call frames.
             pass
+    if params is not None and t_step is None:
+        # Donated one-shot (VERDICT r3 item 6): with the params DONATED,
+        # XLA buffer assignment may reuse each block's weight buffers as
+        # activation scratch once that block has consumed them — the
+        # liveness peak drops from (all weights + peak activations) to
+        # roughly (all weights) since the 17408-token intermediates fit
+        # in already-dead weight space. One execution consumes the
+        # params; a second synthesized copy gives a confirming rep.
+        import functools
+        import gc
+        del step
+        gc.collect()
+        jax.clear_caches()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step_d(params, x):
+            return flux.apply(params, x, txt, pooled,
+                              jnp.full((1,), 0.5, jnp.float32), img_ids,
+                              txt_ids, cfg,
+                              guidance=jnp.full((1,), 30.0, jnp.float32))
+
+        try:
+            reps = []
+            for r in range(2):
+                if r > 0:
+                    _, params = build_full_int8()
+                t0 = time.perf_counter()
+                y = step_d(params, jnp.copy(lat))
+                jax.block_until_ready(y)
+                reps.append(time.perf_counter() - t0)
+                params = None
+                del y
+                gc.collect()
+            # rep 0 includes the compile; rep 1 is execute-only (plus
+            # one dispatch through the tunnel, ~ms against ~seconds)
+            t_step = reps[-1]
+            out["hires2048_step_note"] = (
+                "MEASURED full 12B via donated params (weight buffers "
+                f"reused as activation scratch); reps={[round(x, 3) for x in reps]}")
+        except Exception as e:  # noqa: BLE001
+            out["hires2048_donated_attempt"] = (
+                f"{type(e).__name__}: {str(e)[:160]}")
+            params = None
+            gc.collect()
+            jax.clear_caches()
     if t_step is None:
         # free the full model, measure a reduced-depth bf16 proxy at the
         # same shapes and extrapolate linearly in depth (the same
@@ -807,7 +863,8 @@ def bench_hires_fill(holder, cfg) -> dict:
         # the production deployment for this regime.
         import gc
         params = None
-        del step
+        if "step" in dir():
+            del step         # absent when the donated attempt ran
         gc.collect()
         jax.clear_caches()   # drop the failed executable + its workspace
         dd, ds = proxy_depths

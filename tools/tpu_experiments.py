@@ -1261,6 +1261,126 @@ def exp_w8a8situ():
               f"(scale {np.max(np.abs(base)):.2f})")
 
 
+def exp_w8a8prof():
+    """Round-4 (VERDICT r3 item 2): where does the W8A8 step's non-GEMM
+    remainder go? Ablation depth-slopes on int8-layout proxies with
+    set_int8_activations(True): full vs no-attn (fused attention replaced
+    by a projection-consuming passthrough) vs cheap-quant (per-token amax
+    +round replaced by a bare int8 cast with unit scales — same HBM
+    traffic, no reduction) vs no-elemwise (gelu/ln/modulate to identity).
+    The deltas price the bf16 attention, the quantize passes, and the
+    VPU chains against the 0.63-of-int8-peak measured step."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models import common as _common
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import int8_gemm
+
+    sys.path.insert(0, "/root/repo")
+    from bench import build_full_int8
+
+    grid, s_txt = int(os.environ.get("W8S_GRID", "64")), 512
+    rng = np.random.default_rng(0)
+    txt = jnp.asarray(rng.standard_normal((1, s_txt, 4096)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    img_ids = jnp.asarray(flux.make_image_ids(grid, grid))
+    txt_ids = jnp.asarray(flux.make_text_ids(s_txt))
+    tt = jnp.full((1,), 0.5, jnp.float32)
+    g = jnp.full((1,), 2.5, jnp.float32)
+    configs = [(2, 4), (6, 4), (2, 12)]
+    chain = 4
+
+    def _attn_off_double(txt_qkv, img_qkv, tn, inorm, cos, sin, heads,
+                         hd, interpret=False):
+        h = heads * hd
+        return txt_qkv[..., :h], img_qkv[..., :h]
+
+    def _attn_off_single(proj, qn, cos, sin, heads, hd, interpret=False):
+        return proj[..., :heads * hd]
+
+    def _cheap_quant(x):
+        # same read/write bytes as quantize_rowwise, no amax reduce and
+        # no round — prices the reduction+rounding, not the traffic.
+        # The int8 cast CONSUMES every element, so the producer chain
+        # cannot be dead-coded (round-3 postmortem rule).
+        q = x.astype(jnp.int8)
+        s = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+        return q, s
+
+    orig = dict(mmd=flux.mmdit_double_attention,
+                mms=flux.mmdit_single_attention,
+                gelu=flux.gelu_tanh, ln=flux._ln_no_affine,
+                mod=flux._modulate, qr=int8_gemm.quantize_rowwise)
+    ablations = {
+        "full": {},
+        "no-attn": {("flux", "mmdit_double_attention"): _attn_off_double,
+                    ("flux", "mmdit_single_attention"): _attn_off_single},
+        "cheap-quant": {("int8_gemm", "quantize_rowwise"): _cheap_quant},
+        "no-elemwise": {("flux", "gelu_tanh"): lambda x: x,
+                        ("flux", "_ln_no_affine"): lambda x, eps=1e-6: x,
+                        ("flux", "_modulate"): lambda x, sh, sc: x},
+    }
+    mods = {"flux": flux, "int8_gemm": int8_gemm}
+
+    results = {}
+    for nd, ns in configs:
+        cfg, params = build_full_int8(nd, ns)
+        img = jnp.asarray(rng.standard_normal(
+            (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
+
+        def make():
+            @jax.jit
+            def f(params, x):
+                def body(y, _):
+                    y = flux.apply(params, y, txt, pooled, tt, img_ids,
+                                   txt_ids, cfg, guidance=g
+                                   ).astype(jnp.bfloat16
+                                            )[:, :, :cfg.in_channels]
+                    return y, None
+                return jax.lax.scan(body, x, None, length=chain)[0]
+            return f
+
+        for name, patch in ablations.items():
+            _common.set_int8_activations(True)
+            for (m, attr), fn in patch.items():
+                setattr(mods[m], attr, fn)
+            try:
+                f = make()
+                _ = np.asarray(f(params, img)[0, 0, :1])
+                t = _timeit_total(lambda: f(params, img)) / chain
+            finally:
+                _common.set_int8_activations(False)
+                flux.mmdit_double_attention = orig["mmd"]
+                flux.mmdit_single_attention = orig["mms"]
+                flux.gelu_tanh = orig["gelu"]
+                flux._ln_no_affine = orig["ln"]
+                flux._modulate = orig["mod"]
+                int8_gemm.quantize_rowwise = orig["qr"]
+            results.setdefault(name, {})[(nd, ns)] = t
+            print(f"  [w8a8 {name} ({nd},{ns})]: {t*1e3:.1f} ms/apply",
+                  flush=True)
+        del params
+
+    print("== W8A8 ablation depth-slopes (per block, int8 proxies) ==")
+    base = None
+    for name in ablations:
+        r = results[name]
+        pd = (r[(6, 4)] - r[(2, 4)]) / 4
+        ps = (r[(2, 12)] - r[(2, 4)]) / 8
+        step = (19 * pd + 38 * ps) * 1e3
+        if name == "full":
+            base = (pd, ps)
+            print(f"  {name}: double {pd*1e3:.2f} ms | single "
+                  f"{ps*1e3:.2f} ms | 19d+38s {step:.0f} ms")
+        else:
+            share = (19 * (base[0] - pd) + 38 * (base[1] - ps)) * 1e3
+            print(f"  {name}: double {pd*1e3:.2f} ms "
+                  f"(d {1e3*(base[0]-pd):+.2f}) | single {ps*1e3:.2f} ms "
+                  f"(d {1e3*(base[1]-ps):+.2f}) | 57-layer share "
+                  f"{share:.0f} ms")
+
+
 def exp_attn8():
     """Round-4: fused attention kernel modes at the 1024 px Flux shape —
     bf16 vs folded-dequant int8 QK vs full int8 (QK + P·V). Per-layer
@@ -1483,6 +1603,8 @@ def main():
     which = sys.argv[1:] or ["all"]
     if "attn8" in which:
         exp_attn8()
+    if "w8a8prof" in which:
+        exp_w8a8prof()
     if "gemm" in which:
         exp_gemm()
     if "gemm2" in which:
