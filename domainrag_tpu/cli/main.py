@@ -133,11 +133,18 @@ def _build_cfg(args) -> PipelineConfig:
 
 
 def _quantize_runner(runner):
+    # quantization runs on whatever device the params live on (HOST for
+    # converted checkpoints — models/convert.host_conversion); the int8
+    # tree is then placed on the serving device in one pass so jit calls
+    # never re-transfer 12 GB per step. Mesh serving re-shards via
+    # parallel/deploy.shard_bundle, which device_puts per shard itself.
+    import jax
     from ..models.quant import quantize_tree
-    runner.flux_bundle.flux_params = quantize_tree(
-        runner.flux_bundle.flux_params)
-    runner.fill_bundle.flux_params = quantize_tree(
-        runner.fill_bundle.flux_params)
+    dev = jax.devices()[0]
+    runner.flux_bundle.flux_params = jax.device_put(
+        quantize_tree(runner.flux_bundle.flux_params), dev)
+    runner.fill_bundle.flux_params = jax.device_put(
+        quantize_tree(runner.fill_bundle.flux_params), dev)
 
 
 def _pretrained_specs(args):

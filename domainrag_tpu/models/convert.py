@@ -13,10 +13,12 @@ No network access is assumed: all loaders take local paths.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +29,23 @@ from . import siglip as siglip_mod
 from . import t5 as t5_mod
 from .flux import model as flux_mod
 from .flux import vae as vae_mod
+
+
+def host_conversion():
+    """Context manager: run checkpoint conversion on the HOST device.
+
+    The converters build jnp arrays; on a TPU backend those would land
+    on the chip — and the full FLUX.1 transformer is ~48 GB as f32,
+    3x one v5e's HBM (caught by the round-4 full-size rehearsal,
+    tools/real_weights_harness.py --full-flux-synth). Conversion +
+    weight-only quantization are host jobs; only the quantized tree
+    (~12 GB int8) is placed on device, by the caller
+    (cli/main._quantize_runner or deploy.shard_bundle)."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:           # no cpu backend registered (unusual)
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 
 def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
@@ -262,22 +281,25 @@ def load_flux_bundle(checkpoints_dir: str, fill: bool = False,
     c = dict(default_configs(fill))
     c.update(configs or {})
     name = "flux-fill" if fill else "flux-dev"
-    flux_params = convert_flux_transformer(
-        load_safetensors_dir(os.path.join(checkpoints_dir, name)),
-        c["flux"])
-    vae_params = convert_flux_vae(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "vae")),
-        c["vae"])
-    t5_params = t5_mod.convert_hf_t5(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "t5")), c["t5"])
-    clip_params = clip_mod.convert_hf_clip_text(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "clip-text")),
-        c["clip_text"])
-    siglip_params = siglip_mod.convert_hf_siglip(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "siglip")),
-        c["siglip"])
-    redux_params = redux_mod.convert_hf_redux(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "redux")))
+    with host_conversion():
+        flux_params = convert_flux_transformer(
+            load_safetensors_dir(os.path.join(checkpoints_dir, name)),
+            c["flux"])
+        vae_params = convert_flux_vae(
+            load_safetensors_dir(os.path.join(checkpoints_dir, "vae")),
+            c["vae"])
+        t5_params = t5_mod.convert_hf_t5(
+            load_safetensors_dir(os.path.join(checkpoints_dir, "t5")),
+            c["t5"])
+        clip_params = clip_mod.convert_hf_clip_text(
+            load_safetensors_dir(os.path.join(checkpoints_dir,
+                                              "clip-text")),
+            c["clip_text"])
+        siglip_params = siglip_mod.convert_hf_siglip(
+            load_safetensors_dir(os.path.join(checkpoints_dir, "siglip")),
+            c["siglip"])
+        redux_params = redux_mod.convert_hf_redux(
+            load_safetensors_dir(os.path.join(checkpoints_dir, "redux")))
     try:
         clip_tok, t5_tok = text_util.load_hf_tokenizers(checkpoints_dir)
     except Exception:
@@ -314,16 +336,20 @@ def build_runner_from_checkpoints(checkpoints_dir: str, cfg,
     configs = configs or {}
     clip_vision_cfg = configs.get("clip_vision", clip_mod.ClipVisionConfig())
     lama_cfg = configs.get("lama", lama_mod.BIG_LAMA)
-    clip_vision = clip_mod.convert_hf_clip_vision(
-        load_safetensors_dir(os.path.join(checkpoints_dir, "clip-vision")),
-        clip_vision_cfg)
-    stem_sd = load_safetensors_dir(os.path.join(checkpoints_dir,
-                                                "resnet-stem"))
-    stem_params = resnet_stem.convert_torch_stem(
-        stem_sd["conv1.weight"], stem_sd["bn1.weight"], stem_sd["bn1.bias"],
-        stem_sd["bn1.running_mean"], stem_sd["bn1.running_var"])
-    lama_sd = load_safetensors_dir(os.path.join(checkpoints_dir, "lama"))
-    lama_params = convert_lama(lama_sd, lama_cfg)
+    with host_conversion():
+        clip_vision = clip_mod.convert_hf_clip_vision(
+            load_safetensors_dir(os.path.join(checkpoints_dir,
+                                              "clip-vision")),
+            clip_vision_cfg)
+        stem_sd = load_safetensors_dir(os.path.join(checkpoints_dir,
+                                                    "resnet-stem"))
+        stem_params = resnet_stem.convert_torch_stem(
+            stem_sd["conv1.weight"], stem_sd["bn1.weight"],
+            stem_sd["bn1.bias"], stem_sd["bn1.running_mean"],
+            stem_sd["bn1.running_var"])
+        lama_sd = load_safetensors_dir(os.path.join(checkpoints_dir,
+                                                    "lama"))
+        lama_params = convert_lama(lama_sd, lama_cfg)
     return PipelineRunner(
         cfg=cfg,
         lama_runner=inpaint_stage.LamaRunner(lama_params, lama_cfg),
