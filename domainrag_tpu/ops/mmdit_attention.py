@@ -68,9 +68,18 @@ _EPS = 1e-6             # qk-rmsnorm epsilon (models.common.rmsnorm)
 # unfused composition whose ops.attention flash path multi-passes KV and
 # is proven to 31k+ (tools/tpu_experiments.py exp_mmdithires).
 _MAX_ONEPASS = 17408
-# The multi-KV-pass variants (_seq_kernel_mp/_joint_kernel_mp, round 4)
-# carry the fusion past the one-pass ceiling with O(bq) VMEM; this bound
-# only marks the largest measured regime (the 2800 px cap is ~31k).
+# The multi-KV-pass path (_mp_flash, round 4) carries past the one-pass
+# ceiling with O(bq) VMEM; this bound only marks the largest measured
+# regime (the 2800 px cap is ~31k). Design note: the first multipass cut
+# re-applied K's norm+RoPE INSIDE the kernel per (q-tile, kv-tile) visit
+# — measured 207 vs 120 ms/layer unfused at 31k tokens, because with kv
+# innermost every RoPE table and K tile is re-DMAed n_q (~61) times
+# (~47 GB/layer of f32 table traffic alone) and the f32 VPU norm repeats
+# per visit. The shipped design hoists norm+RoPE into ONE XLA prep pass
+# over the GEMM output (~0.8 GB/layer round-trip at 31k, ~1 ms), then
+# streams prenormed K/V through a plain online-softmax kernel with a
+# LARGE q tile (bq=2048: K/V re-fetch shrinks by n_q, tables/weights
+# leave the kernel entirely).
 _MAX_MULTIPASS = 49152
 
 # SageAttention-style int8 QK (arXiv:2410.02367's recipe, re-derived for
@@ -518,33 +527,29 @@ def _online_update(s, v, acc, m_buf, l_buf):
     m_buf[:] = m_new
 
 
-def _seq_kernel_mp(valid_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref,
-                   ck_ref, sk_ref, wq_ref, wk_ref, p_ref, o_ref,
-                   q_scr, acc, m_buf, l_buf,
-                   *, bkv: int, masked: bool, prescale: float):
-    """Multi-KV-pass variant of :func:`_seq_kernel` (VERDICT r3 item 4:
-    the 2800 px fill's ~31k-token joint sequence exceeds the one-pass
-    kernel's VMEM ceiling). Grid (B, H, n_q, n_kv), kv innermost: the
-    normed+roped q tile persists in scratch across the kv sweep, K/V
-    stream per tile with an online-softmax accumulator. K's norm+RoPE is
-    recomputed once per (q tile, kv tile) — O(S·128) elementwise against
-    the O(S·bq·128) score matmul it feeds."""
+def _flash_mp_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref,
+                     acc, m_buf, l_buf,
+                     *, bkv: int, masked: bool, prescale: float):
+    """Multi-KV-pass streaming flash kernel over PRENORMED q/k/v head
+    slices (VERDICT r3 item 4: the 2800 px fill's ~31k-token joint
+    sequence exceeds the one-pass kernel's VMEM ceiling). Grid
+    (B, H, n_q, n_kv), kv innermost: the q tile's block index is
+    constant across the kv sweep (no re-DMA), K/V stream per tile with
+    the online-softmax accumulator. norm+RoPE happened once in the XLA
+    prep pass (:func:`_prep_norm_rope`) — see the _MAX_MULTIPASS design
+    note for why recomputing it in-kernel loses at this regime."""
     ik = pl.program_id(3)
     n_k = pl.num_programs(3)
-    p_swap = p_ref[:]
 
     @pl.when(ik == 0)
     def _():
-        q_scr[:] = _norm_rope(_ld(q_ref), wq_ref[:], cq_ref[:], sq_ref[:],
-                              p_swap, prescale)
         acc[:] = jnp.zeros_like(acc)
         m_buf[:] = jnp.full_like(m_buf, NEG_INF)
         l_buf[:] = jnp.zeros_like(l_buf)
 
-    kf = _norm_rope(_ld(k_ref), wk_ref[:], ck_ref[:], sk_ref[:],
-                    p_swap, None)
-    s = jax.lax.dot_general(q_scr[:], kf, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(_ld(q_ref), _ld(k_ref),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * prescale
     if masked:
         kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
             + ik * bkv
@@ -557,63 +562,20 @@ def _seq_kernel_mp(valid_ref, q_ref, k_ref, v_ref, cq_ref, sq_ref,
                     ).astype(o_ref.dtype)
 
 
-def _joint_kernel_mp(valid_ref, qt_ref, qi_ref, kt_ref, ki_ref, vt_ref,
-                     vi_ref, ct_ref, st_ref, ciq_ref, siq_ref, cik_ref,
-                     sik_ref, wqt_ref, wkt_ref, wqi_ref, wki_ref, p_ref,
-                     o_ref, q_scr, kt_scr, acc, m_buf, l_buf,
-                     *, t_tiles: int, bq: int, bkv: int, masked: bool,
-                     prescale: float):
-    """Multi-KV-pass variant of :func:`_joint_kernel`. The (small) txt
-    stream is folded whole into kv step 0 — its normed+roped K lives in
-    scratch once per (batch, head) exactly like the one-pass kernel —
-    and the img stream's K/V tiles stream through steps 1..n with the
-    online-softmax accumulator."""
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    n_k = pl.num_programs(3)
-    p_swap = p_ref[:]
-
-    @pl.when((iq == 0) & (ik == 0))
-    def _():
-        kt_scr[:] = _norm_rope(_ld(kt_ref), wkt_ref[:], ct_ref[:],
-                               st_ref[:], p_swap, None)
-
-    @pl.when(ik == 0)
-    def _():
-        is_txt = iq < t_tiles
-        q_raw = jnp.where(is_txt, _ld(qt_ref), _ld(qi_ref))
-        wq = jnp.where(is_txt, wqt_ref[:], wqi_ref[:])
-        off_t = jnp.minimum(iq, t_tiles - 1) * bq
-        cq = jnp.where(is_txt, ct_ref[pl.ds(off_t, bq)], ciq_ref[:])
-        sq = jnp.where(is_txt, st_ref[pl.ds(off_t, bq)], siq_ref[:])
-        q_scr[:] = _norm_rope(q_raw, wq, cq, sq, p_swap, prescale)
-        acc[:] = jnp.zeros_like(acc)
-        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
-        l_buf[:] = jnp.zeros_like(l_buf)
-        st_ = jax.lax.dot_general(q_scr[:], kt_scr[:],
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        if masked:
-            t_pos = jax.lax.broadcasted_iota(jnp.int32, st_.shape, 1)
-            st_ = jnp.where(t_pos < valid_ref[0], st_, NEG_INF)
-        _online_update(st_, _ld(vt_ref), acc, m_buf, l_buf)
-
-    @pl.when(ik > 0)
-    def _():
-        kf = _norm_rope(_ld(ki_ref), wki_ref[:], cik_ref[:], sik_ref[:],
-                        p_swap, None)
-        si = jax.lax.dot_general(q_scr[:], kf, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        if masked:
-            kv_pos = jax.lax.broadcasted_iota(jnp.int32, si.shape, 1) \
-                + (ik - 1) * bkv
-            si = jnp.where(kv_pos < valid_ref[1], si, NEG_INF)
-        _online_update(si, _ld(vi_ref), acc, m_buf, l_buf)
-
-    @pl.when(ik == n_k - 1)
-    def _():
-        o_ref[0] = (acc[:] / jnp.maximum(l_buf[:][:, :1], 1e-30)
-                    ).astype(o_ref.dtype)
+def _prep_norm_rope(x, w, cos, sin):
+    """qk-rmsnorm + interleaved RoPE over a (B, S, H*128) stream — ONE
+    fused XLA elementwise pass feeding the multipass kernel. Rounding
+    matches the unfused reference: f32 norm, dtype round after the w
+    scale, f32 rotation, cast back (\\_rms/_rope_interleaved order)."""
+    b, s, hd = x.shape
+    h = hd // 128
+    x4 = _rms(x.reshape(b, s, h, 128), w)
+    xf = x4.astype(jnp.float32).reshape(b, s, h, 64, 2)
+    c = cos.astype(jnp.float32)[None, :, None, :]
+    sn = sin.astype(jnp.float32)[None, :, None, :]
+    o0 = xf[..., 0] * c - xf[..., 1] * sn
+    o1 = xf[..., 0] * sn + xf[..., 1] * c
+    return jnp.stack([o0, o1], axis=-1).reshape(b, s, hd).astype(x.dtype)
 
 
 def _lane_block(heads: int, which: int, rows: int, row_map):
@@ -675,35 +637,6 @@ def _w128(w):
 # fused implementations
 # ---------------------------------------------------------------------------
 
-def _mp_specs(heads: int, qkv3: bool):
-    """(lane, tab, w, p) BlockSpec builders for the 4D multipass grid;
-    row maps take (iq, ik) block indices."""
-    if qkv3:
-        def lane(which, rows, rmap):
-            return pl.BlockSpec(
-                (1, 1, rows, 128),
-                lambda b_, h, iq, ik: (which, b_, rmap(iq, ik), h),
-                memory_space=pltpu.VMEM)
-    else:
-        def lane(which, rows, rmap):
-            return pl.BlockSpec(
-                (1, rows, 128),
-                lambda b_, h, iq, ik: (b_, rmap(iq, ik),
-                                       which * heads + h),
-                memory_space=pltpu.VMEM)
-
-    def tab(rows, rmap):
-        return pl.BlockSpec((rows, 128),
-                            lambda b_, h, iq, ik: (rmap(iq, ik), 0),
-                            memory_space=pltpu.VMEM)
-
-    w = pl.BlockSpec((1, 128), lambda b_, h, iq, ik: (0, 0),
-                     memory_space=pltpu.VMEM)
-    p = pl.BlockSpec((128, 128), lambda b_, h, iq, ik: (0, 0),
-                     memory_space=pltpu.VMEM)
-    return lane, tab, w, p
-
-
 def _mp_params(heads, bq, s_kv_rows, b, n_q, n_kv):
     return dict(
         compiler_params=pltpu.CompilerParams(
@@ -718,129 +651,103 @@ def _mp_params(heads, bq, s_kv_rows, b, n_q, n_kv):
     )
 
 
-def _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
-                     *, heads: int, interpret: bool, qkv3: bool,
-                     bq: int = 512):
-    """Multi-KV-pass double-block fused attention for joint sequences
-    above the one-pass VMEM ceiling (the reference's 2800 px cap regime,
-    outpainting_updown_sampling_redux.py:104-108 — ~31k tokens). bf16
-    only; VMEM is O(bq) regardless of sequence length."""
-    if qkv3:
-        _, b, s_txt, _ = txt_qkv.shape
-        s_img = img_qkv.shape[2]
-    else:
-        b, s_txt, _ = txt_qkv.shape
-        s_img = img_qkv.shape[1]
-    bkv = bq
-    st_pad = _round_up(s_txt, bq)
-    si_pad = _round_up(s_img, bq)
-    masked = (st_pad != s_txt) or (si_pad != s_img)
-    prescale = LOG2_E / math.sqrt(128.0)
-    c2, s2 = _expand_tables(cos, sin, 128)
-    ct = _pad_rows(c2[:s_txt], st_pad)
-    st_t = _pad_rows(s2[:s_txt], st_pad)
-    ci = _pad_rows(c2[s_txt:], si_pad)
-    si_t = _pad_rows(s2[s_txt:], si_pad)
-    if qkv3:
-        txt_qkv = _pad_seq3(txt_qkv, st_pad)
-        img_qkv = _pad_seq3(img_qkv, si_pad)
-    else:
-        txt_qkv = _pad_seq(txt_qkv, st_pad)
-        img_qkv = _pad_seq(img_qkv, si_pad)
-    t_tiles = st_pad // bq
-    i_tiles = si_pad // bq
-    n_q = t_tiles + i_tiles
-    n_kv = 1 + si_pad // bkv           # step 0 = whole txt stream
-    hd = heads * 128
-    lane, tab, w_spec, p_spec = _mp_specs(heads, qkv3)
-    qt_row = lambda iq, ik: jnp.minimum(iq, t_tiles - 1)       # noqa: E731
-    qi_row = lambda iq, ik: jnp.clip(iq - t_tiles, 0,          # noqa: E731
-                                     i_tiles - 1)
-    kv_row = lambda iq, ik: jnp.clip(ik - 1, 0, n_kv - 2)      # noqa: E731
-    out_spec = pl.BlockSpec((1, bq, 128),
-                            lambda b_, h, iq, ik: (b_, iq, h),
-                            memory_space=pltpu.VMEM)
-    dtype = txt_qkv.dtype
-    out = pl.pallas_call(
-        functools.partial(_joint_kernel_mp, t_tiles=t_tiles, bq=bq,
-                          bkv=bkv, masked=masked, prescale=prescale),
-        grid=(b, heads, n_q, n_kv),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  lane(0, bq, qt_row),
-                  lane(0, bq, qi_row),
-                  lane(1, st_pad, lambda iq, ik: 0),
-                  lane(1, bkv, kv_row),
-                  lane(2, st_pad, lambda iq, ik: 0),
-                  lane(2, bkv, kv_row),
-                  tab(st_pad, lambda iq, ik: 0),
-                  tab(st_pad, lambda iq, ik: 0),
-                  tab(bq, qi_row), tab(bq, qi_row),
-                  tab(bkv, kv_row), tab(bkv, kv_row),
-                  w_spec, w_spec, w_spec, w_spec, p_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, st_pad + si_pad, hd), dtype),
-        scratch_shapes=[pltpu.VMEM((bq, 128), dtype),
-                        pltpu.VMEM((st_pad, 128), dtype),
-                        pltpu.VMEM((bq, 128), jnp.float32),
-                        pltpu.VMEM((bq, 128), jnp.float32),
-                        pltpu.VMEM((bq, 128), jnp.float32)],
-        interpret=interpret,
-        **_mp_params(heads, bq, st_pad + si_pad, b, n_q, n_kv),
-    )(jnp.asarray([s_txt, s_img], jnp.int32),
-      txt_qkv, img_qkv, txt_qkv, img_qkv, txt_qkv, img_qkv,
-      ct, st_t, ci, si_t, ci, si_t,
-      _w128(wq_t), _w128(wk_t), _w128(wq_i), _w128(wk_i),
-      _pair_swap_matrix())
-    return out[:, :s_txt], out[:, st_pad:st_pad + s_img]
-
-
-def _fused_single_mp(proj, wq, wk, cos, sin, *, heads: int,
-                     interpret: bool, qkv3: bool, bq: int = 512):
-    """Multi-KV-pass single-block fused attention (see
-    :func:`_fused_double_mp`)."""
-    if qkv3:
-        _, b, s, _ = proj.shape
-    else:
-        b, s, _ = proj.shape
-    bkv = bq
-    s_pad = _round_up(s, bq)
-    masked = s_pad != s
-    prescale = LOG2_E / math.sqrt(128.0)
-    c2, s2 = _expand_tables(cos, sin, 128)
-    cp = _pad_rows(c2, s_pad)
-    sp = _pad_rows(s2, s_pad)
-    proj = _pad_seq3(proj, s_pad) if qkv3 else _pad_seq(proj, s_pad)
+def _mp_flash(qkv3_arr, valid: int, *, heads: int, interpret: bool,
+              bq: int, bkv: int):
+    """Streaming flash attention over a prenormed (3, B, S_pad, H*128)
+    qkv3 tensor (q/k already normed+roped by :func:`_prep_norm_rope`,
+    v raw). VMEM is O(bq·bkv); K/V HBM re-fetch scales with
+    n_q = S/bq, which is why the multipass default bq (2048) is large —
+    see the _MAX_MULTIPASS design note."""
+    _, b, s_pad, hd = qkv3_arr.shape
     n_q = s_pad // bq
     n_kv = s_pad // bkv
-    hd = heads * 128
-    lane, tab, w_spec, p_spec = _mp_specs(heads, qkv3)
-    out_spec = pl.BlockSpec((1, bq, 128),
-                            lambda b_, h, iq, ik: (b_, iq, h),
-                            memory_space=pltpu.VMEM)
+    masked = valid != s_pad
+
+    def lane(which, rows, rmap):
+        return pl.BlockSpec(
+            (1, 1, rows, 128),
+            lambda b_, h, iq, ik: (which, b_, rmap(iq, ik), h),
+            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        functools.partial(_seq_kernel_mp, bkv=bkv, masked=masked,
-                          prescale=prescale),
+        functools.partial(_flash_mp_kernel, bkv=bkv, masked=masked,
+                          prescale=LOG2_E / math.sqrt(128.0)),
         grid=(b, heads, n_q, n_kv),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   lane(0, bq, lambda iq, ik: iq),
                   lane(1, bkv, lambda iq, ik: ik),
-                  lane(2, bkv, lambda iq, ik: ik),
-                  tab(bq, lambda iq, ik: iq),
-                  tab(bq, lambda iq, ik: iq),
-                  tab(bkv, lambda iq, ik: ik),
-                  tab(bkv, lambda iq, ik: ik),
-                  w_spec, w_spec, p_spec],
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), proj.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, 128), proj.dtype),
-                        pltpu.VMEM((bq, 128), jnp.float32),
+                  lane(2, bkv, lambda iq, ik: ik)],
+        out_specs=pl.BlockSpec((1, bq, 128),
+                               lambda b_, h, iq, ik: (b_, iq, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), qkv3_arr.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, 128), jnp.float32),
                         pltpu.VMEM((bq, 128), jnp.float32),
                         pltpu.VMEM((bq, 128), jnp.float32)],
         interpret=interpret,
         **_mp_params(heads, bq, s_pad, b, n_q, n_kv),
-    )(jnp.asarray([s], jnp.int32), proj, proj, proj,
-      cp, sp, cp, sp, _w128(wq), _w128(wk), _pair_swap_matrix())
-    return out[:, :s]
+    )(jnp.asarray([valid], jnp.int32), qkv3_arr, qkv3_arr, qkv3_arr)
+    return out
+
+
+def _mp_tiles(bq: int, bkv):
+    """bkv defaults to min(bq, 1024) and must divide bq (one padded
+    length serves both tilings)."""
+    if bkv is None:
+        bkv = min(bq, 1024)
+    if bq % bkv:
+        bkv = bq
+    return bq, bkv
+
+
+def _split_qkv_lanes(x, hd: int, qkv3: bool):
+    if qkv3:
+        return x[0], x[1], x[2]
+    return x[..., :hd], x[..., hd:2 * hd], x[..., 2 * hd:3 * hd]
+
+
+def _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
+                     *, heads: int, interpret: bool, qkv3: bool,
+                     bq: int = 2048, bkv=None):
+    """Multi-KV-pass double-block fused attention for joint sequences
+    above the one-pass VMEM ceiling (the reference's 2800 px cap regime,
+    outpainting_updown_sampling_redux.py:104-108 — ~31k tokens). bf16
+    only; norm+RoPE runs once per stream in XLA, the two streams concat
+    into one prenormed sequence, and the kernel streams K/V with O(bq)
+    VMEM — no sequence ceiling."""
+    hd = heads * 128
+    tq, tk, tv = _split_qkv_lanes(txt_qkv, hd, qkv3)
+    iq_, ik_, iv = _split_qkv_lanes(img_qkv, hd, qkv3)
+    s_txt, s_img = tq.shape[1], iq_.shape[1]
+    ct, st_ = cos[:s_txt], sin[:s_txt]
+    ci, si_ = cos[s_txt:s_txt + s_img], sin[s_txt:s_txt + s_img]
+    q = jnp.concatenate([_prep_norm_rope(tq, wq_t, ct, st_),
+                         _prep_norm_rope(iq_, wq_i, ci, si_)], axis=1)
+    k = jnp.concatenate([_prep_norm_rope(tk, wk_t, ct, st_),
+                         _prep_norm_rope(ik_, wk_i, ci, si_)], axis=1)
+    v = jnp.concatenate([tv, iv], axis=1)
+    s_tot = s_txt + s_img
+    bq, bkv = _mp_tiles(bq, bkv)
+    arr = _pad_seq3(jnp.stack([q, k, v]), _round_up(s_tot, bq))
+    out = _mp_flash(arr, s_tot, heads=heads, interpret=interpret,
+                    bq=bq, bkv=bkv)
+    return out[:, :s_txt], out[:, s_txt:s_tot]
+
+
+def _fused_single_mp(proj, wq, wk, cos, sin, *, heads: int,
+                     interpret: bool, qkv3: bool, bq: int = 2048,
+                     bkv=None):
+    """Multi-KV-pass single-block fused attention (see
+    :func:`_fused_double_mp`)."""
+    hd = heads * 128
+    q, k, v = _split_qkv_lanes(proj, hd, qkv3)
+    s = q.shape[1]
+    q = _prep_norm_rope(q, wq, cos[:s], sin[:s])
+    k = _prep_norm_rope(k, wk, cos[:s], sin[:s])
+    bq, bkv = _mp_tiles(bq, bkv)
+    arr = _pad_seq3(jnp.stack([q, k, v]), _round_up(s, bq))
+    return _mp_flash(arr, s, heads=heads, interpret=interpret,
+                     bq=bq, bkv=bkv)[:, :s]
 
 
 def _fused_double_impl(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
