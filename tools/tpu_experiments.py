@@ -1486,6 +1486,70 @@ def exp_attn8():
               f"{(19*(td0-td)+38*(ts0-ts))*1e3:+.0f} ms")
 
 
+def exp_mpbq():
+    """Round-4 headroom probe: multipass fused-attention tile sweep at
+    the 2800 px cap regime (~31k tokens). BENCH_NOTES records the
+    remaining gap as K/V HBM re-fetch (scales with n_q = S/bq): bq=4096
+    would halve it vs the shipped default 2048 but was never compiled.
+    Sweep (bq, bkv) over the VMEM-plausible grid, with parity + slope
+    timing per config; compile failures are recorded, not fatal."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    cfg = flux.FLUX_DEV
+    s_txt, s_img = 512, 30625                   # 175^2 = 2800 px cap
+    ids = np.concatenate([flux.make_text_ids(s_txt),
+                          flux.make_image_ids(175, 175)])
+    cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim,
+                                 cfg.theta)
+    wq = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+    wk = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+    txt_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_txt, 3 * h)),
+                          jnp.bfloat16)
+    img_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_img, 3 * h)),
+                          jnp.bfloat16)
+    ref_t, ref_i = jax.jit(lambda tq, iq: mma._reference_double(
+        tq, iq, wq, wk, wq, wk, cos, sin, heads, hd))(txt_qkv, img_qkv)
+
+    def chain(bq, bkv):
+        def make(c):
+            @jax.jit
+            def f(tq, iq):
+                for _ in range(c):
+                    t, i = mma._fused_double_mp(
+                        tq, iq, wq, wk, wq, wk, cos, sin, heads=heads,
+                        interpret=False, qkv3=False, bq=bq, bkv=bkv)
+                    tq = jnp.concatenate([t, t, t], axis=-1)
+                    iq = jnp.concatenate([i, i, i], axis=-1)
+                return tq
+            return lambda: f(txt_qkv, img_qkv)
+        return make
+
+    for bq, bkv in [(1024, 1024), (2048, 1024), (2048, 2048),
+                    (4096, 1024), (4096, 2048), (4096, 4096),
+                    (8192, 1024)]:
+        try:
+            ft, fi = jax.jit(lambda tq, iq, b=bq, k=bkv: mma._fused_double_mp(
+                tq, iq, wq, wk, wq, wk, cos, sin, heads=heads,
+                interpret=False, qkv3=False, bq=b, bkv=k))(txt_qkv, img_qkv)
+            err = max(
+                float(jnp.max(jnp.abs(ft.astype(jnp.float32)
+                                      - ref_t.astype(jnp.float32)))),
+                float(jnp.max(jnp.abs(fi.astype(jnp.float32)
+                                      - ref_i.astype(jnp.float32)))))
+            t = _slope_time(chain(bq, bkv), c_lo=2, c_hi=6)
+            print(f"  double 512+30625 bq={bq} bkv={bkv}: "
+                  f"{t*1e3:.2f} ms | parity {err:.4f}", flush=True)
+        except Exception as ex:
+            print(f"  double 512+30625 bq={bq} bkv={bkv}: FAILED "
+                  f"{type(ex).__name__}: {str(ex)[:160]}", flush=True)
+
+
 def exp_vae():
     """Where do the 0.56 s of 1024 px VAE decode go? ~6.5 TFLOP of convs
     should take ~35 ms at peak — measure the full decode with slope
@@ -1625,6 +1689,8 @@ def main():
         exp_mmditsitu()
     if "mmdithires" in which:
         exp_mmdithires()
+    if "mpbq" in which:
+        exp_mpbq()
     if "vae" in which:
         exp_vae()
     if "prior" in which:
