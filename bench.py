@@ -226,11 +226,18 @@ def main() -> None:
     if os.environ.get("BENCH_ONLY_HIRES") == "1" and on_tpu:
         # fresh-process 2048 px fill entry: device-buffer freeing through
         # the axon tunnel is unreliable, so the hires measurement gets a
-        # process of its own (proxy + depth extrapolation; the full int8
-        # model + 16k-token activations exceed one chip regardless)
+        # process of its own. The fresh process is also the best shot for
+        # the donated-params full-12B attempt (VERDICT r3 item 6): nothing
+        # else is resident, so build the full int8 model here and let
+        # bench_hires_fill try the direct + donated paths before falling
+        # back to the depth-proxy extrapolation. BENCH_HIRES_FULL=0 skips
+        # the 12 GB build for a quick proxy-only rerun.
         from domainrag_tpu.models.flux.model import FLUX_DEV
+        holder = {}
+        if os.environ.get("BENCH_HIRES_FULL", "1") == "1":
+            _, holder["params"] = build_full_int8()
         print(json.dumps({"metric": "flux-2048px-fill-step(standalone)",
-                          **bench_hires_fill({}, FLUX_DEV)}))
+                          **bench_hires_fill(holder, FLUX_DEV)}))
         return
     quantized = on_tpu and os.environ.get("BENCH_QUANT", "1") != "0"
     w8a8 = quantized and os.environ.get("BENCH_W8A8", "0") == "1"
