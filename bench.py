@@ -34,6 +34,7 @@ BENCH_CHECKS=0 (skip the on-TPU exactness assertions).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -236,7 +237,8 @@ def main() -> None:
         holder = {}
         if os.environ.get("BENCH_HIRES_FULL", "1") == "1":
             _, holder["params"] = build_full_int8()
-        print(json.dumps({"metric": "flux-2048px-fill-step(standalone)",
+        px = int(os.environ.get("BENCH_HIRES_GRID", "128")) * 16
+        print(json.dumps({"metric": f"flux-{px}px-fill-step(standalone)",
                           **bench_hires_fill(holder, FLUX_DEV)}))
         return
     quantized = on_tpu and os.environ.get("BENCH_QUANT", "1") != "0"
@@ -600,7 +602,11 @@ def bench_train_step() -> dict:
         def step(p, o, b_, k, tc=tc, opt=opt):
             return fm.train_step(p, o, b_, k, cfg, tc, opt)
 
-        p = jax.device_put(params)
+        # fresh buffers per variant: device_put of an already-placed tree
+        # is a no-op returning the SAME buffers, so donating them into
+        # step() would delete `params` for the next variant (measured:
+        # "Array has been deleted" on the noremat pass)
+        p = jax.tree_util.tree_map(jnp.copy, params)
         o = opt.init(p)
         p, o, loss = step(p, o, batch_d, key)
         _ = np.asarray(loss)                       # compile + warm
@@ -787,7 +793,16 @@ def bench_hires_fill(holder, cfg) -> dict:
     # process) — tighter extrapolation base
     proxy_depths = (2, 4) if params is not None else (4, 8)
     rng = np.random.default_rng(0)
-    grid, s_txt = 128, 512                     # 2048 px -> 16384 tokens
+    # 2048 px -> grid 128 -> 16384 image tokens. BENCH_HIRES_GRID=175
+    # probes the reference's 2800 px cap (~31k tokens, the multipass
+    # fused-attention regime) — with only the int8 weights resident the
+    # O(seq) attention may fit even that on one chip.
+    grid = int(os.environ.get("BENCH_HIRES_GRID", "128"))
+    s_txt = 512
+    pxkey = f"hires{grid * 16}"     # hires2048 at the default grid
+
+    def _pk(suffix):
+        return f"{pxkey}_{suffix}"
     lat = jnp.asarray(rng.standard_normal(
         (1, grid * grid, cfg.in_channels)), jnp.bfloat16)
     txt = jnp.asarray(rng.standard_normal(
@@ -818,6 +833,37 @@ def bench_hires_fill(holder, cfg) -> dict:
             # exception's traceback pins the params through the inner
             # call frames.
             pass
+    if params is not None and t_step is not None \
+            and os.environ.get("BENCH_HIRES_W8A8", "1") == "1":
+        # the plain step fit, so the full model is still resident:
+        # measure the W8A8 serving mode at the same 16896-token shape
+        # directly (round 3 could only extrapolate 2.22 s from proxy
+        # depth slopes). The toggle retraces the quantized-linear path
+        # onto the Pallas int8-MXU GEMM; one extra remote compile.
+        from domainrag_tpu.models import common as _common
+        try:
+            _common.set_int8_activations(True)
+
+            @jax.jit
+            def step8(params, x):
+                return flux.apply(params, x, txt, pooled,
+                                  jnp.full((1,), 0.5, jnp.float32),
+                                  img_ids, txt_ids, cfg,
+                                  guidance=jnp.full((1,), 30.0,
+                                                    jnp.float32))
+
+            _ = np.asarray(step8(params, lat)[0, 0, :1])
+            t0 = time.perf_counter()
+            _ = np.asarray(step8(params, lat)[0, 0, :1])
+            out[f"{pxkey}_w8a8_step_seconds"] = round(
+                time.perf_counter() - t0, 4)
+            del step8
+        except Exception as e:  # noqa: BLE001 — W8A8 extra must not
+            # lose the measured plain step
+            out[f"{pxkey}_w8a8_attempt"] = (
+                f"{type(e).__name__}: {str(e)[:120]}")
+        finally:
+            _common.set_int8_activations(False)
     if params is not None and t_step is None:
         # Donated one-shot (VERDICT r3 item 6): with the params DONATED,
         # XLA buffer assignment may reuse each block's weight buffers as
@@ -854,11 +900,11 @@ def bench_hires_fill(holder, cfg) -> dict:
             # rep 0 includes the compile; rep 1 is execute-only (plus
             # one dispatch through the tunnel, ~ms against ~seconds)
             t_step = reps[-1]
-            out["hires2048_step_note"] = (
+            out[f"{pxkey}_step_note"] = (
                 "MEASURED full 12B via donated params (weight buffers "
                 f"reused as activation scratch); reps={[round(x, 3) for x in reps]}")
         except Exception as e:  # noqa: BLE001
-            out["hires2048_donated_attempt"] = (
+            out[f"{pxkey}_donated_attempt"] = (
                 f"{type(e).__name__}: {str(e)[:160]}")
             params = None
             gc.collect()
@@ -888,7 +934,7 @@ def bench_hires_fill(holder, cfg) -> dict:
         _ = np.asarray(pstep(proxy_params, lat)[0, 0, :1])
         t_step = (time.perf_counter() - t0) * (19 * 2.0 + 38) / (dd * 2.0
                                                                  + ds)
-        out["hires2048_step_note"] = (
+        out[f"{pxkey}_step_note"] = (
             f"extrapolated-from-{dd}d{ds}s-proxy (full int8 model + "
             "16k-token activations exceed one chip; production is TP/SP)")
 
@@ -896,7 +942,7 @@ def bench_hires_fill(holder, cfg) -> dict:
     vparams = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16),
         vae_mod.init(jax.random.PRNGKey(2), vcfg))
-    z = jnp.asarray(rng.standard_normal((1, 256, 256, 16)), jnp.bfloat16)
+    z = jnp.asarray(rng.standard_normal((1, grid * 2, grid * 2, 16)), jnp.bfloat16)
     tiled = jax.jit(lambda p, z: vae_mod.decode_tiled(p, z, vcfg))
     _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
     t0 = time.perf_counter()
@@ -906,12 +952,16 @@ def bench_hires_fill(holder, cfg) -> dict:
     from domainrag_tpu.eval import flops as flops_mod
     fl = flops_mod.flux_forward_flops(cfg, grid * grid, s_txt).total
     out.update({
-        "hires2048_step_seconds": round(t_step, 4),
-        "hires2048_step_tflops": round(fl / 1e12, 1),
-        "hires2048_mfu_vs_bf16_peak": round(
+        _pk("step_seconds"): round(t_step, 4),
+        _pk("step_tflops"): round(fl / 1e12, 1),
+        _pk("mfu_vs_bf16_peak"): round(
             flops_mod.mfu(fl, t_step, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4),
-        "hires2048_tiled_vae_seconds": round(t_vae, 4),
+        _pk("tiled_vae_seconds"): round(t_vae, 4),
     })
+    t8 = out.get(_pk("w8a8_step_seconds"))
+    if isinstance(t8, float):
+        out[f"{pxkey}_w8a8_mfu_vs_bf16_peak"] = round(
+            flops_mod.mfu(fl, t8, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
     return out
 
 
