@@ -77,9 +77,12 @@ _MAX_ONEPASS = 17408
 # (~47 GB/layer of f32 table traffic alone) and the f32 VPU norm repeats
 # per visit. The shipped design hoists norm+RoPE into ONE XLA prep pass
 # over the GEMM output (~0.8 GB/layer round-trip at 31k, ~1 ms), then
-# streams prenormed K/V through a plain online-softmax kernel with a
-# LARGE q tile (bq=2048: K/V re-fetch shrinks by n_q, tables/weights
-# leave the kernel entirely).
+# streams prenormed K/V through a plain online-softmax kernel. Tile
+# sweep at the 31k double shape (tools/tpu_experiments.py mpbq):
+# bq=1024/bkv=1024 measured fastest (103.9 ms vs 110.0 at bq=2048,
+# 108.2-129.5 for every larger tile) — K/V HBM re-fetch is NOT the
+# limiter once tables/weights leave the kernel; small q tiles win on
+# padding (round_up(S, bq)) and VMEM pipelining.
 _MAX_MULTIPASS = 49152
 
 # SageAttention-style int8 QK (arXiv:2410.02367's recipe, re-derived for
@@ -708,7 +711,7 @@ def _split_qkv_lanes(x, hd: int, qkv3: bool):
 
 def _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
                      *, heads: int, interpret: bool, qkv3: bool,
-                     bq: int = 2048, bkv=None):
+                     bq: int = 1024, bkv=None):
     """Multi-KV-pass double-block fused attention for joint sequences
     above the one-pass VMEM ceiling (the reference's 2800 px cap regime,
     outpainting_updown_sampling_redux.py:104-108 — ~31k tokens). bf16
@@ -735,7 +738,7 @@ def _fused_double_mp(txt_qkv, img_qkv, wq_t, wk_t, wq_i, wk_i, cos, sin,
 
 
 def _fused_single_mp(proj, wq, wk, cos, sin, *, heads: int,
-                     interpret: bool, qkv3: bool, bq: int = 2048,
+                     interpret: bool, qkv3: bool, bq: int = 1024,
                      bkv=None):
     """Multi-KV-pass single-block fused attention (see
     :func:`_fused_double_mp`)."""
