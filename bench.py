@@ -577,50 +577,60 @@ def bench_train_step() -> dict:
 
     dd, ds = 2, 3
     cfg, params = build_proxy(dd, ds)
-    grid, s_txt, batch = HEIGHT // 16, 512, 1
+    grid, s_txt = HEIGHT // 16, 512
     seq = grid * grid
+    # BENCH_TRAIN_BATCH: comma-separated batch sizes. Batch 1 pins the
+    # single-chip floor; larger batches amortize the per-step fixed costs
+    # (Adam's f32 moment sweep, in/out projections) and give the bwd
+    # GEMMs cross-sample reuse — the production-relevant MFU.
+    batches = [int(b) for b in os.environ.get(
+        "BENCH_TRAIN_BATCH", "1").split(",")]
     rng = np.random.default_rng(0)
-    batch_d = {
-        "x0": jnp.asarray(rng.standard_normal(
-            (batch, seq, cfg.in_channels)), jnp.bfloat16),
-        "txt": jnp.asarray(rng.standard_normal(
-            (batch, s_txt, cfg.text_dim)), jnp.bfloat16),
-        "pooled": jnp.asarray(rng.standard_normal(
-            (batch, cfg.pooled_dim)), jnp.bfloat16),
-        "img_ids": jnp.asarray(flux.make_image_ids(grid, grid)),
-        "txt_ids": jnp.asarray(flux.make_text_ids(s_txt)),
-    }
-    fwd = flops_mod.flux_forward_flops(cfg, seq, s_txt).total * batch
-    out = {"train_proxy_depths": f"{dd},{ds}",
-           "train_batch_seq": f"{batch}x{seq}"}
+    out = {"train_proxy_depths": f"{dd},{ds}"}
     key = jax.random.PRNGKey(0)
-    for remat in (True, False):
-        tc = fm.TrainConfig(remat=remat)
-        opt = fm.make_optimizer(tc)
+    for batch in batches:
+        batch_d = {
+            "x0": jnp.asarray(rng.standard_normal(
+                (batch, seq, cfg.in_channels)), jnp.bfloat16),
+            "txt": jnp.asarray(rng.standard_normal(
+                (batch, s_txt, cfg.text_dim)), jnp.bfloat16),
+            "pooled": jnp.asarray(rng.standard_normal(
+                (batch, cfg.pooled_dim)), jnp.bfloat16),
+            "img_ids": jnp.asarray(flux.make_image_ids(grid, grid)),
+            "txt_ids": jnp.asarray(flux.make_text_ids(s_txt)),
+        }
+        fwd = flops_mod.flux_forward_flops(cfg, seq, s_txt).total * batch
+        out[f"train_batch_seq_b{batch}"] = f"{batch}x{seq}"
+        for remat in (True, False):
+            tc = fm.TrainConfig(remat=remat)
+            opt = fm.make_optimizer(tc)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(p, o, b_, k, tc=tc, opt=opt):
-            return fm.train_step(p, o, b_, k, cfg, tc, opt)
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step(p, o, b_, k, tc=tc, opt=opt):
+                return fm.train_step(p, o, b_, k, cfg, tc, opt)
 
-        # fresh buffers per variant: device_put of an already-placed tree
-        # is a no-op returning the SAME buffers, so donating them into
-        # step() would delete `params` for the next variant (measured:
-        # "Array has been deleted" on the noremat pass)
-        p = jax.tree_util.tree_map(jnp.copy, params)
-        o = opt.init(p)
-        p, o, loss = step(p, o, batch_d, key)
-        _ = np.asarray(loss)                       # compile + warm
-        reps = 3
-        t0 = time.perf_counter()
-        for _ in range(reps):
+            # fresh buffers per variant: device_put of an already-placed
+            # tree is a no-op returning the SAME buffers, so donating
+            # them into step() would delete `params` for the next
+            # variant (measured: "Array has been deleted" on the
+            # noremat pass)
+            p = jax.tree_util.tree_map(jnp.copy, params)
+            o = opt.init(p)
             p, o, loss = step(p, o, batch_d, key)
-            _ = np.asarray(loss)                   # forced value fetch
-        dt = (time.perf_counter() - t0) / reps
-        tag = "remat" if remat else "noremat"
-        out[f"train_step_s_{tag}"] = round(dt, 4)
-        out[f"train_mfu_vs_bf16_peak_{tag}"] = round(flops_mod.mfu(
-            3 * fwd, dt, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
-        del p, o
+            _ = np.asarray(loss)                       # compile + warm
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                p, o, loss = step(p, o, batch_d, key)
+                _ = np.asarray(loss)                   # forced value fetch
+            dt = (time.perf_counter() - t0) / reps
+            tag = ("remat" if remat else "noremat") + (
+                f"_b{batch}" if batch != 1 else "")
+            out[f"train_step_s_{tag}"] = round(dt, 4)
+            out[f"train_mfu_vs_bf16_peak_{tag}"] = round(flops_mod.mfu(
+                3 * fwd, dt, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
+            del p, o
+        del batch_d
     return out
 
 
