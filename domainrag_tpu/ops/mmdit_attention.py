@@ -659,8 +659,10 @@ def _mp_flash(qkv3_arr, valid: int, *, heads: int, interpret: bool,
     """Streaming flash attention over a prenormed (3, B, S_pad, H*128)
     qkv3 tensor (q/k already normed+roped by :func:`_prep_norm_rope`,
     v raw). VMEM is O(bq·bkv); K/V HBM re-fetch scales with
-    n_q = S/bq, which is why the multipass default bq (2048) is large —
-    see the _MAX_MULTIPASS design note."""
+    n_q = S/bq, so the multipass default bq must stay large. The round-4
+    tile sweep (BENCH_NOTES "multipass tile sweep") measured bq=1024 as
+    the fastest at the 31k-token cap shape — 103.86 ms/layer double vs
+    109.78 at bq=2048 — hence the 1024 default below; bkv follows bq."""
     _, b, s_pad, hd = qkv3_arr.shape
     n_q = s_pad // bq
     n_kv = s_pad // bkv

@@ -439,7 +439,7 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
 
     report = {"mode": "full-flux-synth",
               "backend": jax.default_backend(), "phases_s": {},
-              "device_mem": {}}
+              "device_mem": {}, "host_rss_gb": {}}
     os.makedirs(out_dir, exist_ok=True)
     fdir = os.path.join(ckpt, "flux-dev")
     cfg = flux.FLUX_DEV
@@ -451,6 +451,17 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
                 if "bytes" in k}
         except Exception:
             report["device_mem"][tag] = "memory_stats unavailable"
+
+    def rss(tag):
+        # VmRSS = current resident set, VmHWM = peak; the peak is the
+        # number that decides whether a host can run day one at all.
+        vals = {}
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith(("VmRSS", "VmHWM")):
+                    k, v = line.split(":", 1)
+                    vals[k] = round(int(v.split()[0]) / 2**20, 2)
+        report["host_rss_gb"][tag] = vals
 
     if not glob_mod.glob(os.path.join(fdir, "*.safetensors")):
         print("== synthesizing full-size diffusers flux-dev tree ==",
@@ -488,10 +499,15 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
         del host, sd, shards, shard
         report["phases_s"]["synthesize_and_write"] = round(
             time.perf_counter() - t0, 1)
+        rss("after_synthesize")
         print(f"   wrote {len(os.listdir(fdir))} shards in "
               f"{report['phases_s']['synthesize_and_write']}s", flush=True)
+    report["tree_gb"] = round(sum(
+        os.path.getsize(os.path.join(fdir, f))
+        for f in os.listdir(fdir)) / 2**30, 2)
 
     print("== load + convert (host) ==", flush=True)
+    rss("before_load")
     t0 = time.perf_counter()
     with convert_mod.host_conversion():
         params = convert_mod.convert_flux_transformer(
@@ -500,6 +516,7 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
         time.perf_counter() - t0, 1)
     report["param_count"] = int(sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)))
+    rss("after_convert")
     print(f"   {report['param_count'] / 1e9:.2f} B params in "
           f"{report['phases_s']['load_convert_host']}s", flush=True)
 
@@ -515,6 +532,7 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
     report["quantized_gb"] = round(
         quant.quantized_bytes(qparams) / 2**30, 2)
     mem("after_place")
+    rss("after_place")
     print(f"   {report['quantized_gb']} GB on device in "
           f"{report['phases_s']['quantize_and_place']}s", flush=True)
 
@@ -547,6 +565,7 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
     report["finite"] = bool(np.isfinite(np.asarray(
         out[0, :4, :4], np.float32)).all())
     mem("after_step")
+    rss("after_step")
     _write_json(report, os.path.join(out_dir, "full_flux_report.json"))
     print(json.dumps(report["phases_s"]))
     print(f"report -> {out_dir}/full_flux_report.json", flush=True)
