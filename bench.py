@@ -116,7 +116,7 @@ def build_proxy(depth_double: int, depth_single: int):
     return cfg, jax.tree_util.tree_map(synth, shapes)
 
 
-def build_full_int8(depth_double=None, depth_single=None):
+def build_full_int8(depth_double=None, depth_single=None, fill=False):
     """The FULL 19-double/38-single 12B MMDiT with weight-only int8
     (models.quant layout): ~12 GB of weights fits the single chip, so the
     headline is measured end-to-end, not extrapolated.
@@ -128,14 +128,15 @@ def build_full_int8(depth_double=None, depth_single=None):
     stream to the device one at a time.
 
     ``depth_double``/``depth_single`` override the depths for
-    reduced-depth int8 proxies (tools/tpu_experiments.py w8a8situ)."""
+    reduced-depth int8 proxies (tools/tpu_experiments.py w8a8situ);
+    ``fill=True`` builds the FLUX_FILL_DEV variant (in_channels 384)."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     import numpy as np
     from domainrag_tpu.models.flux import model as flux
 
-    cfg = flux.FLUX_DEV
+    cfg = flux.FLUX_FILL_DEV if fill else flux.FLUX_DEV
     if depth_double is not None:
         cfg = dataclasses.replace(cfg, depth_double=depth_double,
                                   depth_single=depth_single)
@@ -224,6 +225,17 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
+    if os.environ.get("BENCH_PIPELINE_PHASE"):
+        bench_pipeline_phase(os.environ["BENCH_PIPELINE_PHASE"])
+        return
+    if os.environ.get("BENCH_PIPELINE") == "1":
+        cfg = _pipebench_cfg()
+        px = cfg.generate.sampling.height
+        steps = cfg.generate.sampling.num_steps
+        print(json.dumps({
+            "metric": f"full-pipeline-{px}px-{steps}step",
+            **bench_full_pipeline()}))
+        return
     if os.environ.get("BENCH_ONLY_HIRES") == "1" and on_tpu:
         # fresh-process 2048 px fill entry: device-buffer freeing through
         # the axon tunnel is unreliable, so the hires measurement gets a
@@ -701,6 +713,336 @@ def bench_retrieval_qps() -> dict:
     _ = np.asarray(chain(q, bank)[0, :1])
     per_call = (time.perf_counter() - t0) / n_chain
     return {"retrieval_qps_100k_bank": round(128 / per_call, 1)}
+
+
+# ---------------------------------------------------------------------------
+# BENCH_PIPELINE: orchestrator-driven four-stage pipeline at full size
+# ---------------------------------------------------------------------------
+
+_PIPE_DATASET = "PIPEBENCH"
+
+
+def _pipebench_paths() -> dict:
+    root = os.environ.get("BENCH_PIPELINE_DIR", "/tmp/drtpu_pipebench")
+    return {"root": root,
+            "datasets": os.path.join(root, "datasets"),
+            "out": os.path.join(root, "out"),
+            "corpus": os.path.join(root, "corpus"),
+            "prompts": os.path.join(root, "prompt_cache.npz"),
+            "frag": os.path.join(root, "fragments")}
+
+
+def _pipebench_tiny() -> bool:
+    """BENCH_PIPELINE_TINY=1: tiny models + tiny shapes — a CPU smoke
+    mode validating the 3-phase orchestration (npz round-trip, prompt
+    release, fragment merge) without chip time."""
+    return os.environ.get("BENCH_PIPELINE_TINY", "0") == "1"
+
+
+def _pipebench_cfg():
+    import dataclasses
+    from domainrag_tpu.core.config import DatasetParams, PipelineConfig
+    p = _pipebench_paths()
+    tiny = _pipebench_tiny()
+    steps = int(os.environ.get("BENCH_PIPELINE_STEPS",
+                               "2" if tiny else str(NUM_STEPS)))
+    size = 32 if tiny else 1024
+    cfg = PipelineConfig(datasets=(_PIPE_DATASET,), shots=(1,),
+                         datasets_dir=p["datasets"], output_dir=p["out"])
+    return dataclasses.replace(
+        cfg,
+        generate=dataclasses.replace(
+            cfg.generate,
+            sampling=dataclasses.replace(cfg.generate.sampling,
+                                         num_steps=steps, height=size,
+                                         width=size),
+            # measured single-chip ceiling next to the 12 GB int8 tree
+            # (BENCH_NOTES r3; config.GenerateConfig.max_rank_batch note)
+            max_rank_batch=2),
+        compose=dataclasses.replace(
+            cfg.compose, num_steps=steps,
+            dataset_params={_PIPE_DATASET: DatasetParams(
+                upscale_dimension=size)}))
+
+
+def _synth_bf16_tree(init_fn, seed=0, dtype=None):
+    """Host-synthesized params from shape specs (no device f32
+    transient; same pool trick as the full-flux-synth rehearsal).
+    bf16 unless ``dtype`` overrides (LaMa's spectral path wants f32)."""
+    import jax
+    import ml_dtypes
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    pool = (np.random.default_rng(seed).standard_normal(1 << 20)
+            .astype(np.float32) * 0.02).astype(
+                dtype or ml_dtypes.bfloat16)
+
+    def synth(leaf):
+        n = int(np.prod(leaf.shape))
+        return jax.device_put(np.resize(pool, n).reshape(leaf.shape))
+
+    return jax.tree_util.tree_map(synth, shapes)
+
+
+def _pipebench_prompt_cache():
+    """Load the textencode phase's npz into a FluxBundle prompt cache."""
+    import jax.numpy as jnp
+    data = np.load(_pipebench_paths()["prompts"], allow_pickle=True)
+    prompts = list(data["prompts"])
+    return {p: (jnp.asarray(data[f"t5_{i}"]),
+                jnp.asarray(data[f"pooled_{i}"]))
+            for i, p in enumerate(prompts)}
+
+
+def _pipebench_bundle(fill: bool):
+    """Full-size serving bundle: 12 B int8 transformer + bf16 VAE /
+    SigLIP-so400m / Redux, text towers RELEASED (prompt cache from the
+    textencode phase). Small models build first so the SigLIP f32 init
+    transient never lands next to the 12 GB int8 tree."""
+    import jax.numpy as jnp
+    from domainrag_tpu.models import redux as redux_mod
+    from domainrag_tpu.models import siglip as siglip_mod
+    from domainrag_tpu.models import clip as clip_mod
+    from domainrag_tpu.models import t5 as t5_mod
+    from domainrag_tpu.models.flux import pipeline as fp
+    from domainrag_tpu.models.flux import vae as vae_mod
+
+    if _pipebench_tiny():
+        b = fp.tiny_bundle(fill=fill)
+        b.prompt_cache = _pipebench_prompt_cache()
+        fp.release_text_encoders(b)
+        return b
+    vae_cfg = vae_mod.FLUX_VAE
+    vae_params = _synth_bf16_tree(lambda k: vae_mod.init(k, vae_cfg), 1)
+    scfg = siglip_mod.SIGLIP_SO400M
+    sparams = _synth_bf16_tree(lambda k: siglip_mod.init(k, scfg), 2)
+    rcfg = redux_mod.REDUX_DEV
+    rparams = _synth_bf16_tree(lambda k: redux_mod.init(k, rcfg), 3)
+    cfg, params = build_full_int8(fill=fill)
+    return fp.FluxBundle(
+        flux_params=params, flux_cfg=cfg,
+        vae_params=vae_params, vae_cfg=vae_cfg,
+        t5_params=None, t5_cfg=t5_mod.T5_XXL,
+        clip_text_params=None,
+        clip_text_cfg=clip_mod.ClipTextConfig(),
+        siglip_params=sparams, siglip_cfg=scfg,
+        redux_params=rparams, redux_cfg=rcfg,
+        compute_dtype=jnp.bfloat16,
+        prompt_cache=_pipebench_prompt_cache())
+
+
+def _pipebench_corpus_sources() -> dict:
+    import glob as glob_mod
+    return {"coco": sorted(glob_mod.glob(
+        os.path.join(_pipebench_paths()["corpus"], "*.jpg")))}
+
+
+def _write_fragment(name: str, payload: dict) -> None:
+    p = _pipebench_paths()
+    os.makedirs(p["frag"], exist_ok=True)
+    with open(os.path.join(p["frag"], f"{name}.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def bench_pipeline_phase(phase: str) -> None:
+    """One child phase of the full-pipeline benchmark. Phases are
+    separate PROCESSES mirroring the reference's four fire-and-forget
+    shell phases (domainrag.sh:1-31) — and because on one 16 GB chip
+    T5-XXL (9.5 GB), the int8 dev transformer (11.9 GB) and the int8
+    fill transformer (11.9 GB) can never be co-resident (device-buffer
+    freeing through the axon tunnel is additionally unreliable, the
+    BENCH_ONLY_HIRES lesson)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from domainrag_tpu.pipeline.orchestrator import PipelineRunner
+    cfg = _pipebench_cfg()
+
+    if phase == "textencode":
+        import jax.numpy as jnp
+        from domainrag_tpu.core import text as text_util
+        from domainrag_tpu.models import clip as clip_mod
+        from domainrag_tpu.models import t5 as t5_mod
+        from domainrag_tpu.models.flux import pipeline as fp
+        from domainrag_tpu.models.flux import model as flux_mod
+        from domainrag_tpu.models.flux import vae as vae_mod
+        t0 = time.perf_counter()
+        if _pipebench_tiny():
+            bundle = fp.tiny_bundle()
+        else:
+            t5_cfg = t5_mod.T5_XXL
+            ct_cfg = clip_mod.ClipTextConfig()
+            bundle = fp.FluxBundle(
+                flux_params=None, flux_cfg=flux_mod.FLUX_DEV,
+                vae_params=None, vae_cfg=vae_mod.FLUX_VAE,
+                t5_params=_synth_bf16_tree(
+                    lambda k: t5_mod.init(k, t5_cfg), 10),
+                t5_cfg=t5_cfg,
+                clip_text_params=_synth_bf16_tree(
+                    lambda k: clip_mod.init_text(k, ct_cfg), 11),
+                clip_text_cfg=ct_cfg,
+                clip_tokenizer=text_util.StubTokenizer(
+                    vocab_size=ct_cfg.vocab_size,
+                    bos_id=ct_cfg.vocab_size - 2,
+                    eos_id=ct_cfg.eos_token_id),
+                t5_tokenizer=text_util.StubTokenizer(
+                    vocab_size=t5_cfg.vocab_size, bos_id=None, eos_id=1))
+        load_s = time.perf_counter() - t0
+        prompts = sorted({cfg.generate.redux.prompt} | {
+            d.redux_prompt
+            for d in cfg.compose.dataset_params.values()})
+        t0 = time.perf_counter()
+        fp.precompute_prompts(bundle, prompts)
+        encode_s = time.perf_counter() - t0
+        arrs = {"prompts": np.array(prompts, object)}
+        for i, p_ in enumerate(prompts):
+            t5_e, pooled = bundle.prompt_cache[p_]
+            arrs[f"t5_{i}"] = np.asarray(t5_e, np.float32)
+            arrs[f"pooled_{i}"] = np.asarray(pooled, np.float32)
+        np.savez(_pipebench_paths()["prompts"], **arrs)
+        _write_fragment("textencode", {
+            "model_load_s": round(load_s, 2),
+            "stage_s": {"textencode": round(encode_s, 4)},
+            "n_prompts": len(prompts)})
+        return
+
+    if phase == "main3":
+        from domainrag_tpu.models import clip as clip_mod
+        from domainrag_tpu.models import lama as lama_mod
+        from domainrag_tpu.models import resnet_stem
+        from domainrag_tpu.stages import inpaint as inpaint_stage
+        from domainrag_tpu.stages.encoders import (ClipImageEncoder,
+                                                   StyleEncoder)
+        tiny = _pipebench_tiny()
+        t0 = time.perf_counter()
+        lama_cfg = lama_mod.TINY_LAMA if tiny else lama_mod.BIG_LAMA
+        lama_params = _synth_bf16_tree(
+            lambda k: lama_mod.init(k, lama_cfg), 20, dtype=np.float32)
+        vcfg = (clip_mod.TINY_VISION if tiny
+                else clip_mod.ClipVisionConfig())
+        clip_enc = ClipImageEncoder(
+            _synth_bf16_tree(lambda k: clip_mod.init_vision(k, vcfg), 21),
+            vcfg, batch_size=8)
+        style_enc = StyleEncoder(_synth_bf16_tree(resnet_stem.init, 22),
+                                 batch_size=8,
+                                 resize=cfg.retrieval.style_resize)
+        small_load_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dev_bundle = _pipebench_bundle(fill=False)
+        flux_load_s = time.perf_counter() - t0
+        runner = PipelineRunner(
+            cfg=cfg,
+            lama_runner=inpaint_stage.LamaRunner(lama_params,
+                                                 lama_mod.BIG_LAMA),
+            clip_encoder=clip_enc, style_encoder=style_enc,
+            flux_bundle=dev_bundle, fill_bundle=None,
+            corpus_sources=_pipebench_corpus_sources())
+        res = runner.run(stages=("inpaint", "retrieve", "generate"))
+        gen = res["generate"][f"{_PIPE_DATASET}/1"]
+        _write_fragment("main3", {
+            "model_load_s": {"small": round(small_load_s, 2),
+                             "flux_dev_int8": round(flux_load_s, 2)},
+            "stage_s": {k.split("/")[-1]: round(v["total_s"], 4)
+                        for k, v in res["timings"].items()},
+            "generate_result": gen})
+        return
+
+    if phase == "compose":
+        t0 = time.perf_counter()
+        fill_bundle = _pipebench_bundle(fill=True)
+        flux_load_s = time.perf_counter() - t0
+        runner = PipelineRunner(
+            cfg=cfg, lama_runner=None, clip_encoder=None,
+            style_encoder=None, flux_bundle=None,
+            fill_bundle=fill_bundle)
+        res = runner.run(stages=("compose",))
+        comp = res["compose"][f"{_PIPE_DATASET}/1"]
+        n_final = sum(len(s["outpainted_images"]) for s in comp["samples"])
+        _write_fragment("compose", {
+            "model_load_s": {"flux_fill_int8": round(flux_load_s, 2)},
+            "stage_s": {k.split("/")[-1]: round(v["total_s"], 4)
+                        for k, v in res["timings"].items()},
+            "compose_final_images": n_final})
+        return
+
+    raise ValueError(f"unknown BENCH_PIPELINE_PHASE {phase!r}")
+
+
+def bench_full_pipeline() -> dict:
+    """Parent driver: synthesize a toy dataset, run the three phase
+    processes, merge their timing fragments into one pipeline-level
+    measurement (VERDICT r4 missing #3: every stage was measured in
+    isolation; the reference's deliverable is the four-stage pipeline,
+    domainrag.sh:1-31). Stage wall-clock comes from each phase's
+    orchestrator StepTimer spans; model synthesis/placement is reported
+    separately (a real deployment pays checkpoint-load there instead)."""
+    import shutil
+    import subprocess
+    from PIL import Image
+    p = _pipebench_paths()
+    n_samples = int(os.environ.get("BENCH_PIPELINE_SAMPLES", "3"))
+    n_corpus = int(os.environ.get("BENCH_PIPELINE_CORPUS", "16"))
+    if os.environ.get("BENCH_PIPELINE_FRESH", "1") == "1" and \
+            os.path.isdir(p["root"]):
+        shutil.rmtree(p["root"])
+    rng = np.random.default_rng(0)
+    train = os.path.join(p["datasets"], _PIPE_DATASET, "train")
+    anns = os.path.join(p["datasets"], _PIPE_DATASET, "annotations")
+    os.makedirs(train, exist_ok=True)
+    os.makedirs(anns, exist_ok=True)
+    os.makedirs(p["corpus"], exist_ok=True)
+    h = w = 64 if _pipebench_tiny() else 1024
+    images, annotations = [], []
+    for i in range(n_samples):
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                        ).save(os.path.join(train, f"sample_{i}.jpg"))
+        images.append({"id": i, "file_name": f"sample_{i}.jpg",
+                       "width": w, "height": h})
+        annotations.append({"id": i, "image_id": i, "category_id": 1,
+                            "bbox": [w // 4, h // 4, w // 4, h // 4]})
+    with open(os.path.join(anns, "1_shot.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "object"}]}, f)
+    cs = 64 if _pipebench_tiny() else 640
+    for i in range(n_corpus):
+        Image.fromarray(rng.integers(0, 255, (cs, cs, 3), dtype=np.uint8)
+                        ).save(os.path.join(p["corpus"], f"c{i}.jpg"))
+
+    phase_wall = {}
+    for phase in ("textencode", "main3", "compose"):
+        t0 = time.perf_counter()
+        env = dict(os.environ, BENCH_PIPELINE_PHASE=phase)
+        env.pop("BENCH_PIPELINE", None)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, stdout=sys.stderr, stderr=sys.stderr)
+        phase_wall[phase] = round(time.perf_counter() - t0, 1)
+        if r.returncode != 0:
+            return {"value": 0.0, "unit": "img/min",
+                    "vs_baseline": 0.0, "error": f"phase {phase} failed "
+                    f"(rc {r.returncode})", "phase_wall_s": phase_wall}
+
+    frags = {}
+    for name in ("textencode", "main3", "compose"):
+        with open(os.path.join(p["frag"], f"{name}.json")) as f:
+            frags[name] = json.load(f)
+    stage_s = {**frags["textencode"]["stage_s"],
+               **frags["main3"]["stage_s"], **frags["compose"]["stage_s"]}
+    total = sum(stage_s.values())
+    n_final = frags["compose"]["compose_final_images"]
+    ipm = n_final * 60.0 / total if total else 0.0
+    return {
+        "value": round(ipm, 4), "unit": "img/min",
+        "vs_baseline": round(ipm / REFERENCE_AS_WRITTEN_IPM, 2),
+        "samples": n_samples, "final_images": n_final,
+        "steps": _pipebench_cfg().generate.sampling.num_steps,
+        "stage_seconds": {k: round(v, 2) for k, v in stage_s.items()},
+        "stage_share": {k: round(v / total, 4)
+                        for k, v in stage_s.items()} if total else {},
+        "model_load_s": {"textencode":
+                         frags["textencode"]["model_load_s"],
+                         **frags["main3"]["model_load_s"],
+                         **frags["compose"]["model_load_s"]},
+        "phase_wall_s": phase_wall,
+    }
 
 
 def bench_e2e_components(denoise_seconds: float) -> dict:

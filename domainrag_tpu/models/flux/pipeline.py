@@ -61,6 +61,15 @@ class FluxBundle:
     # over this mesh's model axis (ops.attention.tp_attention)
     tp_mesh: Optional[object] = None
     tp_axis: str = "model"
+    # per-prompt (t5_embeds (1,S,D), clip_pooled (1,P)) cache filled by
+    # :func:`precompute_prompts`. Lets t5/clip-text params be RELEASED
+    # (:func:`release_text_encoders`) once every prompt a run will use
+    # is cached — on a 16 GB chip T5-XXL (9.5 GB bf16) and the int8 12B
+    # transformer (11.9 GB) cannot be co-resident, so single-chip serving
+    # encodes prompts first and frees the tower (the reference never
+    # faces this: 40 GB A100s hold both, batch_generate_flux_kshot.py
+    # :117-153).
+    prompt_cache: Optional[dict] = None
 
     @property
     def latent_factor(self) -> int:
@@ -113,7 +122,21 @@ def tiny_bundle(key=None, fill: bool = False) -> FluxBundle:
 
 def encode_prompt(bundle: FluxBundle, prompts: Sequence[str]
                   ) -> Tuple[jax.Array, jax.Array]:
-    """(T5 embeds (N, S, D_t5), CLIP pooled (N, D_clip)) per prompt."""
+    """(T5 embeds (N, S, D_t5), CLIP pooled (N, D_clip)) per prompt.
+
+    Consults ``bundle.prompt_cache`` first: when every prompt is cached
+    the text towers never run (and may have been released —
+    :func:`release_text_encoders`)."""
+    cache = bundle.prompt_cache
+    if cache is not None and all(p in cache for p in prompts):
+        return (jnp.concatenate([cache[p][0] for p in prompts]),
+                jnp.concatenate([cache[p][1] for p in prompts]))
+    if bundle.t5_params is None:
+        missing = [p for p in prompts
+                   if cache is None or p not in cache]
+        raise ValueError(
+            f"text encoders released but prompts not in the cache: "
+            f"{missing!r} — precompute_prompts() them first")
     t5_ids = text_util.batch_tokenize(bundle.t5_tokenizer, prompts,
                                       bundle.t5_max_len)
     clip_ids = text_util.batch_tokenize(bundle.clip_tokenizer, prompts,
@@ -124,6 +147,30 @@ def encode_prompt(bundle: FluxBundle, prompts: Sequence[str]
                                     jnp.asarray(clip_ids),
                                     bundle.clip_text_cfg)
     return t5_out, pooled
+
+
+def precompute_prompts(bundle: FluxBundle,
+                       prompts: Sequence[str]) -> None:
+    """Fill ``bundle.prompt_cache`` for ``prompts`` (each encoded once).
+    After this, :func:`release_text_encoders` can drop the T5/CLIP-text
+    params and every downstream prior/denoise call that sticks to these
+    prompts works unchanged — the single-chip staged-residency pattern
+    (BENCH_NOTES "Full-pipeline benchmark")."""
+    if bundle.prompt_cache is None:
+        bundle.prompt_cache = {}
+    for p in prompts:
+        if p not in bundle.prompt_cache:
+            t5_e, pooled = encode_prompt(bundle, [p])
+            bundle.prompt_cache[p] = (jax.block_until_ready(t5_e),
+                                      jax.block_until_ready(pooled))
+
+
+def release_text_encoders(bundle: FluxBundle) -> None:
+    """Drop the T5 + CLIP-text params (device buffers free once no other
+    reference holds them). Prompt encoding afterwards requires a
+    :func:`precompute_prompts` cache hit."""
+    bundle.t5_params = None
+    bundle.clip_text_params = None
 
 
 def redux_prior_pairs(bundle: FluxBundle, images: np.ndarray,

@@ -581,6 +581,38 @@ def _prep_norm_rope(x, w, cos, sin):
     return jnp.stack([o0, o1], axis=-1).reshape(b, s, hd).astype(x.dtype)
 
 
+def _quant_bh(x, extra_scale: float = 1.0):
+    """XLA prep quantizer for the int8 multipass (round 5): (B, S, H*128)
+    -> int8 same shape + (B, H) f32 scales, symmetric per (batch, head)
+    TENSOR. Coarser than the one-pass kernel's per-ROW q scales — the
+    multipass kernel reads its scales from SMEM per (b, h), and after
+    qk-rmsnorm all rows of a head share magnitude, so the granularity
+    loss is small (parity envelope pinned by the tests).
+    ``extra_scale`` folds the flash prescale into q's dequant factor."""
+    b, s, hd = x.shape
+    h = hd // 128
+    xf = x.astype(jnp.float32).reshape(b, s, h, 128)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 3))               # (B, H)
+    sc = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / sc[:, None, :, None]), -127, 127
+                 ).astype(jnp.int8).reshape(b, s, hd)
+    return q, sc * extra_scale
+
+
+def _quant_bh_cols(x):
+    """(B, S, H*128) -> int8 + (B, H, 128) per-column scales (the V
+    quantizer of the int8-P·V multipass; the column scale applies once
+    at the finalize step since it is constant across kv tiles)."""
+    b, s, hd = x.shape
+    h = hd // 128
+    xf = x.astype(jnp.float32).reshape(b, s, h, 128)
+    amax = jnp.max(jnp.abs(xf), axis=1)                    # (B, H, 128)
+    sc = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / sc[:, None]), -127, 127
+                 ).astype(jnp.int8).reshape(b, s, hd)
+    return q, sc
+
+
 def _lane_block(heads: int, which: int, rows: int, row_map):
     """BlockSpec for a (1, rows, 128) head slice of a (B, S, W) array whose
     lanes are [q | k | v | ...] in heads*128 groups; which = 0/1/2."""

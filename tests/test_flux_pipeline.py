@@ -173,3 +173,25 @@ def test_block_cache_auto_calibration(bundle):
     out = fp.generate(bundle, e, p, height=16, width=16, num_steps=4,
                       block_cache_interval="auto")
     assert out.shape == (16, 16, 3)
+
+
+def test_prompt_cache_and_text_encoder_release():
+    """Single-chip staged residency (round 5): prompts precomputed into
+    bundle.prompt_cache reproduce the live-encoder embeddings bit-exactly
+    after release_text_encoders(); uncached prompts then fail loudly."""
+    b = fp.tiny_bundle()
+    live = fp.encode_prompt(b, ["", "a dog"])
+    fp.precompute_prompts(b, ["", "a dog"])
+    fp.release_text_encoders(b)
+    assert b.t5_params is None and b.clip_text_params is None
+    cached = fp.encode_prompt(b, ["", "a dog"])
+    np.testing.assert_array_equal(np.asarray(live[0]),
+                                  np.asarray(cached[0]))
+    np.testing.assert_array_equal(np.asarray(live[1]),
+                                  np.asarray(cached[1]))
+    # order permutes correctly through the per-prompt cache
+    swapped = fp.encode_prompt(b, ["a dog", ""])
+    np.testing.assert_array_equal(np.asarray(swapped[0][0]),
+                                  np.asarray(cached[0][1]))
+    with pytest.raises(ValueError, match="not in the cache"):
+        fp.encode_prompt(b, ["unseen"])
