@@ -573,13 +573,15 @@ def main() -> None:
 
 
 def bench_train_step() -> dict:
-    """One measured on-chip flow-match training step (VERDICT r3 item 8:
-    the beyond-reference trainer never had a number). Proxy depth 2,3
-    (~0.9 B params) — Adam moments are f32, so 2 extra copies of the
-    params must fit HBM next to grads; the full 12 B trains sharded
-    (make_sharded_train_step fsdp+tp, exercised by the dryrun). Reports
-    step time + model-FLOPs MFU (3x forward; remat recompute counts as
-    overhead, not useful FLOPs) with remat on and off."""
+    """Measured on-chip flow-match training steps (VERDICT r3 item 8 /
+    r4 weak #6: one point is not a curve). Grid = BENCH_TRAIN_DEPTHS
+    (';'-separated depth pairs, default "2,3") x BENCH_TRAIN_BATCH
+    (','-separated batch sizes) x remat on/off, per-cell OOM capture —
+    Adam moments are f32, so 2 extra param copies must fit HBM next to
+    grads (depth 2,3 ~0.9 B params is near the single-chip ceiling;
+    the full 12 B trains sharded, make_sharded_train_step fsdp+tp,
+    exercised by the dryrun). Reports step time + model-FLOPs MFU (3x
+    forward; remat recompute counts as overhead, not useful FLOPs)."""
     import functools
     import jax
     import jax.numpy as jnp
@@ -587,18 +589,38 @@ def bench_train_step() -> dict:
     from domainrag_tpu.models.flux import model as flux
     from domainrag_tpu.train import flow_match as fm
 
-    dd, ds = 2, 3
-    cfg, params = build_proxy(dd, ds)
-    grid, s_txt = HEIGHT // 16, 512
-    seq = grid * grid
+    depth_pairs = []
+    for seg in os.environ.get("BENCH_TRAIN_DEPTHS", "2,3").split(";"):
+        if seg.strip():
+            a, b = seg.split(",")
+            depth_pairs.append((int(a), int(b)))
     # BENCH_TRAIN_BATCH: comma-separated batch sizes. Batch 1 pins the
     # single-chip floor; larger batches amortize the per-step fixed costs
     # (Adam's f32 moment sweep, in/out projections) and give the bwd
     # GEMMs cross-sample reuse — the production-relevant MFU.
     batches = [int(b) for b in os.environ.get(
         "BENCH_TRAIN_BATCH", "1").split(",") if b.strip()] or [1]
+    out = {"train_proxy_depths":
+           ";".join(f"{a},{b}" for a, b in depth_pairs)}
+    for dd, ds in depth_pairs:
+        dtag = "" if (dd, ds) == (2, 3) else f"_d{dd}x{ds}"
+        try:
+            _train_cells(out, dd, ds, dtag, batches, flops_mod, flux,
+                         fm, functools, jax, jnp)
+        except Exception as e:  # noqa: BLE001 — the proxy build itself
+            out[f"train{dtag}_error"] = f"{type(e).__name__}: " \
+                f"{str(e)[:160]}"
+    return out
+
+
+def _train_cells(out, dd, ds, dtag, batches, flops_mod, flux, fm,
+                 functools, jax, jnp) -> None:
+    """Fills ``out`` in place so cells measured before a larger batch
+    OOMs survive (per-batch error capture below)."""
+    cfg, params = build_proxy(dd, ds)
+    grid, s_txt = HEIGHT // 16, 512
+    seq = grid * grid
     rng = np.random.default_rng(0)
-    out = {"train_proxy_depths": f"{dd},{ds}"}
     key = jax.random.PRNGKey(0)
     for batch in batches:
         batch_d = {
@@ -614,39 +636,49 @@ def bench_train_step() -> dict:
         fwd = flops_mod.flux_forward_flops(cfg, seq, s_txt).total * batch
         # same suffix rule as the step-time tags: legacy unsuffixed key
         # at batch 1 so older bench JSON consumers keep working
-        seq_tag = "" if batch == 1 else f"_b{batch}"
+        seq_tag = ("" if batch == 1 else f"_b{batch}") + dtag
         out[f"train_batch_seq{seq_tag}"] = f"{batch}x{seq}"
-        for remat in (True, False):
-            tc = fm.TrainConfig(remat=remat)
-            opt = fm.make_optimizer(tc)
-
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def step(p, o, b_, k, tc=tc, opt=opt):
-                return fm.train_step(p, o, b_, k, cfg, tc, opt)
-
-            # fresh buffers per variant: device_put of an already-placed
-            # tree is a no-op returning the SAME buffers, so donating
-            # them into step() would delete `params` for the next
-            # variant (measured: "Array has been deleted" on the
-            # noremat pass)
-            p = jax.tree_util.tree_map(jnp.copy, params)
-            o = opt.init(p)
-            p, o, loss = step(p, o, batch_d, key)
-            _ = np.asarray(loss)                       # compile + warm
-            reps = 3
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                p, o, loss = step(p, o, batch_d, key)
-                _ = np.asarray(loss)                   # forced value fetch
-            dt = (time.perf_counter() - t0) / reps
-            tag = ("remat" if remat else "noremat") + (
-                f"_b{batch}" if batch != 1 else "")
-            out[f"train_step_s_{tag}"] = round(dt, 4)
-            out[f"train_mfu_vs_bf16_peak_{tag}"] = round(flops_mod.mfu(
-                3 * fwd, dt, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
-            del p, o
+        try:
+            _train_remat_cells(out, batch, batch_d, dtag, cfg, params,
+                               fwd, flops_mod, fm, functools, jax, jnp)
+        except Exception as e:  # noqa: BLE001 — record the OOM cell
+            out[f"train_step{seq_tag}_error"] = f"{type(e).__name__}: " \
+                f"{str(e)[:160]}"
         del batch_d
-    return out
+
+
+def _train_remat_cells(out, batch, batch_d, dtag, cfg, params, fwd,
+                       flops_mod, fm, functools, jax, jnp) -> None:
+    key = jax.random.PRNGKey(0)
+    for remat in (True, False):
+        tc = fm.TrainConfig(remat=remat)
+        opt = fm.make_optimizer(tc)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, o, b_, k, tc=tc, opt=opt):
+            return fm.train_step(p, o, b_, k, cfg, tc, opt)
+
+        # fresh buffers per variant: device_put of an already-placed
+        # tree is a no-op returning the SAME buffers, so donating
+        # them into step() would delete `params` for the next
+        # variant (measured: "Array has been deleted" on the
+        # noremat pass)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = opt.init(p)
+        p, o, loss = step(p, o, batch_d, key)
+        _ = np.asarray(loss)                       # compile + warm
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            p, o, loss = step(p, o, batch_d, key)
+            _ = np.asarray(loss)                   # forced value fetch
+        dt = (time.perf_counter() - t0) / reps
+        tag = ("remat" if remat else "noremat") + (
+            f"_b{batch}" if batch != 1 else "") + dtag
+        out[f"train_step_s_{tag}"] = round(dt, 4)
+        out[f"train_mfu_vs_bf16_peak_{tag}"] = round(flops_mod.mfu(
+            3 * fwd, dt, flops_mod.PEAK_TFLOPS["tpu-v5e"]), 4)
+        del p, o
 
 
 def bench_retrieval_scale() -> dict:
@@ -931,8 +963,7 @@ def bench_pipeline_phase(phase: str) -> None:
         flux_load_s = time.perf_counter() - t0
         runner = PipelineRunner(
             cfg=cfg,
-            lama_runner=inpaint_stage.LamaRunner(lama_params,
-                                                 lama_mod.BIG_LAMA),
+            lama_runner=inpaint_stage.LamaRunner(lama_params, lama_cfg),
             clip_encoder=clip_enc, style_encoder=style_enc,
             flux_bundle=dev_bundle, fill_bundle=None,
             corpus_sources=_pipebench_corpus_sources())

@@ -48,13 +48,57 @@ def host_conversion():
     return jax.default_device(cpu)
 
 
-def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
-    """Merge all ``*.safetensors`` files under ``path`` into one dict."""
-    from safetensors import safe_open
-    state: Dict[str, np.ndarray] = {}
+class _LazySafetensors:
+    """Read-on-demand Mapping over one or more safetensors files.
+
+    The eager loader materialized the FULL merged state dict; on the
+    22 GB FLUX tree that dict stayed resident while the converters built
+    the ~48 GB f32 param tree — measured 69.5 GB peak host RSS in the
+    round-5 day-one rehearsal (tools/reports/full_flux_report.json), an
+    OOM on any 64 GB host. Here each ``__getitem__`` reads exactly one
+    tensor from its (kept-open) handle and nothing is cached, so the
+    source tree contributes one tensor at a time to the peak. Key order
+    preserves file order then per-file order (the LaMa ordered-leaves
+    contract, convert_lama)."""
+
+    def __init__(self, files):
+        from safetensors import safe_open
+        self._handles = [safe_open(f, framework="np") for f in files]
+        self._index: Dict[str, object] = {}
+        for h in self._handles:
+            for k in h.keys():
+                self._index[k] = h
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return self._index[key].get_tensor(key)
+
+    def __contains__(self, key) -> bool:
+        return key in self._index
+
+    def __iter__(self):
+        return iter(self._index)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def keys(self):
+        return self._index.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self._index)
+
+
+def load_safetensors_dir(path: str, lazy: bool = True):
+    """All ``*.safetensors`` under ``path`` as one mapping — lazy
+    (read-on-demand, constant memory) by default; ``lazy=False``
+    restores the eager merged dict."""
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files and os.path.isfile(path):
         files = [path]
+    if lazy:
+        return _LazySafetensors(files)
+    from safetensors import safe_open
+    state: Dict[str, np.ndarray] = {}
     for file in files:
         with safe_open(file, framework="np") as f:
             for key in f.keys():
@@ -88,7 +132,13 @@ def _cat_lin(sd, prefixes) -> Params:
 # ---------------------------------------------------------------------------
 
 def convert_flux_transformer(sd: Dict[str, np.ndarray],
-                             cfg: flux_mod.FluxConfig) -> Params:
+                             cfg: flux_mod.FluxConfig,
+                             block_transform=None) -> Params:
+    """``block_transform`` (e.g. ``quant.quantize_tree``) applies to each
+    double/single block subtree IMMEDIATELY after it is built, so its
+    f32 arrays free before the next block converts — with the lazy
+    loader this streams the 12 B tree at ~(quantized tree + one f32
+    block) peak host memory instead of (source + full f32 tree)."""
     def mlp_embedder(prefix) -> Params:
         return {"in": _lin(sd, f"{prefix}.linear_1"),
                 "out": _lin(sd, f"{prefix}.linear_2")}
@@ -104,10 +154,11 @@ def convert_flux_transformer(sd: Dict[str, np.ndarray],
         params["guidance_in"] = mlp_embedder(
             "time_text_embed.guidance_embedder")
 
+    tf = block_transform if block_transform is not None else (lambda x: x)
     i = 0
     while f"transformer_blocks.{i}.norm1.linear.weight" in sd:
         pre = f"transformer_blocks.{i}"
-        params["double"].append({
+        params["double"].append(tf({
             "img_mod": _lin(sd, f"{pre}.norm1.linear"),
             "txt_mod": _lin(sd, f"{pre}.norm1_context.linear"),
             "img_qkv": _cat_lin(sd, [f"{pre}.attn.to_q", f"{pre}.attn.to_k",
@@ -126,19 +177,19 @@ def convert_flux_transformer(sd: Dict[str, np.ndarray],
             "img_mlp2": _lin(sd, f"{pre}.ff.net.2"),
             "txt_mlp1": _lin(sd, f"{pre}.ff_context.net.0.proj"),
             "txt_mlp2": _lin(sd, f"{pre}.ff_context.net.2"),
-        })
+        }))
         i += 1
     i = 0
     while f"single_transformer_blocks.{i}.norm.linear.weight" in sd:
         pre = f"single_transformer_blocks.{i}"
-        params["single"].append({
+        params["single"].append(tf({
             "mod": _lin(sd, f"{pre}.norm.linear"),
             "linear1": _cat_lin(sd, [f"{pre}.attn.to_q", f"{pre}.attn.to_k",
                                      f"{pre}.attn.to_v", f"{pre}.proj_mlp"]),
             "linear2": _lin(sd, f"{pre}.proj_out"),
             "qknorm": {"q": {"scale": _w(sd, f"{pre}.attn.norm_q.weight")},
                        "k": {"scale": _w(sd, f"{pre}.attn.norm_k.weight")}},
-        })
+        }))
         i += 1
 
     # diffusers AdaLayerNormContinuous emits (scale, shift); our final layer

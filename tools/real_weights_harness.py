@@ -506,35 +506,41 @@ def run_full_flux(ckpt: str, out_dir: str) -> int:
         os.path.getsize(os.path.join(fdir, f))
         for f in os.listdir(fdir)) / 2**30, 2)
 
-    print("== load + convert (host) ==", flush=True)
+    print("== load + convert + quantize (host, streaming) ==", flush=True)
     rss("before_load")
     t0 = time.perf_counter()
+    # round 5: lazy per-tensor loading + per-block convert->quantize
+    # streaming. The round-5 eager rehearsal measured 69.5 GB peak host
+    # RSS (22 GB source dict + 48 GB f32 tree co-resident) — an OOM on
+    # any 64 GB host; this path holds the int8 tree + ONE f32 block.
     with convert_mod.host_conversion():
         params = convert_mod.convert_flux_transformer(
-            convert_mod.load_safetensors_dir(fdir), cfg)
+            convert_mod.load_safetensors_dir(fdir), cfg,
+            block_transform=quant.quantize_tree)
+        params = quant.quantize_tree(params)    # top-level linears
     report["phases_s"]["load_convert_host"] = round(
         time.perf_counter() - t0, 1)
     report["param_count"] = int(sum(
-        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params)))
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "shape")))
     rss("after_convert")
-    print(f"   {report['param_count'] / 1e9:.2f} B params in "
+    print(f"   {report['param_count'] / 1e9:.2f} B param-tree leaves in "
           f"{report['phases_s']['load_convert_host']}s", flush=True)
 
-    print("== quantize (host) + device placement ==", flush=True)
+    print("== device placement ==", flush=True)
     mem("before_place")
     t0 = time.perf_counter()
-    qparams = quant.quantize_tree(params)
+    qparams = jax.device_put(params, jax.devices()[0])
     del params
-    qparams = jax.device_put(qparams, jax.devices()[0])
     jax.block_until_ready(jax.tree_util.tree_leaves(qparams)[0])
-    report["phases_s"]["quantize_and_place"] = round(
-        time.perf_counter() - t0, 1)
+    report["phases_s"]["place"] = round(time.perf_counter() - t0, 1)
     report["quantized_gb"] = round(
         quant.quantized_bytes(qparams) / 2**30, 2)
     mem("after_place")
     rss("after_place")
     print(f"   {report['quantized_gb']} GB on device in "
-          f"{report['phases_s']['quantize_and_place']}s", flush=True)
+          f"{report['phases_s']['place']}s", flush=True)
 
     print("== one 1024 px denoise step on device ==", flush=True)
     rng = np.random.default_rng(0)

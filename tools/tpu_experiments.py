@@ -1659,12 +1659,122 @@ def exp_prior():
     print(f"  as-is: {t*1e3:.1f}", flush=True)
 
 
+def exp_mpint8():
+    """Round 5 (VERDICT r4 weak #2 / next #3): int8 attention at the
+    shapes where attention DOMINATES the step. The round-4 "every int8
+    variant slower" verdict was measured at 4608 tokens (1024 px, ~20 %
+    of the step); here the dispatcher-chosen kernels — one-pass int8 at
+    512+16384, the new int8 MULTIPASS (_mp_flash_i8) at 512+30625 — are
+    timed against fused bf16 and the unfused composition, with parity
+    vs the exact reference per row. Matches the fill hot loop
+    (outpainting_updown_sampling_redux.py:1246-1257) at 2048 px and the
+    2800 px cap (:104-108)."""
+    import jax
+    import jax.numpy as jnp
+    from domainrag_tpu.models.flux import model as flux
+    from domainrag_tpu.ops import mmdit_attention as mma
+
+    rng = np.random.default_rng(0)
+    heads, hd = 24, 128
+    h = heads * hd
+    cfg = flux.FLUX_DEV
+
+    for s_img, hw in [(16384, (128, 128)), (30625, (175, 175))]:
+        s_txt = 512
+        ids = np.concatenate([flux.make_text_ids(s_txt),
+                              flux.make_image_ids(*hw)])
+        cos, sin = flux.rope_cos_sin(jnp.asarray(ids), cfg.axes_dim,
+                                     cfg.theta)
+        wq = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+        wk = jnp.asarray(rng.uniform(0.5, 1.5, (hd,)), jnp.float32)
+        qn = {"q": {"scale": wq}, "k": {"scale": wk}}
+        txt_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_txt, 3 * h)),
+                              jnp.bfloat16)
+        img_qkv = jnp.asarray(0.3 * rng.standard_normal((1, s_img, 3 * h)),
+                              jnp.bfloat16)
+        s_all = s_txt + s_img
+        proj = jnp.asarray(0.3 * rng.standard_normal((1, s_all, 3 * h)),
+                           jnp.bfloat16)
+
+        def chain_d(fn):
+            def make(c):
+                @jax.jit
+                def f(tq, iq):
+                    for _ in range(c):
+                        t, i = fn(tq, iq)
+                        tq = jnp.concatenate([t, t, t], axis=-1)
+                        iq = jnp.concatenate([i, i, i], axis=-1)
+                    return tq
+                return lambda: f(txt_qkv, img_qkv)
+            return make
+
+        def chain_s(fn):
+            def make(c):
+                @jax.jit
+                def f(p):
+                    for _ in range(c):
+                        p = jnp.concatenate([fn(p)] * 3, axis=-1)
+                    return p
+                return lambda: f(proj)
+            return make
+
+        @jax.jit
+        def refs(tq, iq, p):
+            rt, ri = mma._reference_double(tq, iq, wq, wk, wq, wk,
+                                           cos, sin, heads, hd)
+            rs = mma._reference_single(p, wq, wk, cos, sin, heads, hd)
+            return rt, ri, rs
+
+        rt, ri, rs = refs(txt_qkv, img_qkv, proj)
+        err = lambda a, b: float(jnp.max(jnp.abs(  # noqa: E731
+            a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+        for mode, qk, pv in [("bf16", False, False),
+                             ("int8qk", True, False),
+                             ("int8qk+pv", True, True)]:
+            mma.set_int8_qk(qk)
+            mma.set_int8_pv(pv)
+            try:
+                fd = jax.jit(lambda tq, iq: mma.mmdit_double_attention(
+                    tq, iq, qn, qn, cos, sin, heads, hd))
+                t_, i_ = fd(txt_qkv, img_qkv)
+                pe = max(err(t_, rt), err(i_, ri))
+                td = _slope_time(chain_d(
+                    lambda tq, iq: mma.mmdit_double_attention(
+                        tq, iq, qn, qn, cos, sin, heads, hd)),
+                    c_lo=2, c_hi=6)
+                fs = jax.jit(lambda p: mma.mmdit_single_attention(
+                    p, qn, cos, sin, heads, hd))
+                ps = err(fs(proj), rs)
+                ts = _slope_time(chain_s(
+                    lambda p: mma.mmdit_single_attention(
+                        p, qn, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+                print(f"  {mode:9s} double {s_txt}+{s_img}: "
+                      f"{td*1e3:8.2f} ms (parity {pe:.4f}) | "
+                      f"single {s_all}: {ts*1e3:8.2f} ms "
+                      f"(parity {ps:.4f})", flush=True)
+            except Exception as ex:  # noqa: BLE001
+                print(f"  {mode:9s} {s_txt}+{s_img}: FAILED "
+                      f"{type(ex).__name__}: {str(ex)[:200]}", flush=True)
+            finally:
+                mma.set_int8_qk(False)
+                mma.set_int8_pv(False)
+        tr = _slope_time(chain_d(lambda tq, iq: mma._reference_double(
+            tq, iq, wq, wk, wq, wk, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        trs = _slope_time(chain_s(lambda p: mma._reference_single(
+            p, wq, wk, cos, sin, heads, hd)), c_lo=2, c_hi=6)
+        print(f"  unfused   double {s_txt}+{s_img}: {tr*1e3:8.2f} ms | "
+              f"single {s_all}: {trs*1e3:8.2f} ms", flush=True)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/drtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print("backend:", jax.default_backend(), jax.devices())
     which = sys.argv[1:] or ["all"]
+    if "mpint8" in which:
+        exp_mpint8()
     if "attn8" in which:
         exp_attn8()
     if "w8a8prof" in which:
