@@ -958,22 +958,32 @@ def bench_pipeline_phase(phase: str) -> None:
                                  batch_size=8,
                                  resize=cfg.retrieval.style_resize)
         small_load_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        dev_bundle = _pipebench_bundle(fill=False)
-        flux_load_s = time.perf_counter() - t0
         runner = PipelineRunner(
             cfg=cfg,
             lama_runner=inpaint_stage.LamaRunner(lama_params, lama_cfg),
             clip_encoder=clip_enc, style_encoder=style_enc,
-            flux_bundle=dev_bundle, fill_bundle=None,
+            flux_bundle=None, fill_bundle=None,
             corpus_sources=_pipebench_corpus_sources())
-        res = runner.run(stages=("inpaint", "retrieve", "generate"))
-        gen = res["generate"][f"{_PIPE_DATASET}/1"]
+        res = runner.run(stages=("inpaint", "retrieve"))
+        # free the inpaint/retrieval models BEFORE the 12 GB transformer
+        # builds (same staged residency the reference's separate scripts
+        # get for free; tunnel-side freeing is unreliable enough that
+        # every co-resident GB matters)
+        runner.lama_runner = None
+        runner.clip_encoder = None
+        runner.style_encoder = None
+        del lama_params, clip_enc, style_enc
+        t0 = time.perf_counter()
+        runner.flux_bundle = _pipebench_bundle(fill=False)
+        flux_load_s = time.perf_counter() - t0
+        res2 = runner.run(stages=("generate",))
+        gen = res2["generate"][f"{_PIPE_DATASET}/1"]
         _write_fragment("main3", {
             "model_load_s": {"small": round(small_load_s, 2),
                              "flux_dev_int8": round(flux_load_s, 2)},
             "stage_s": {k.split("/")[-1]: round(v["total_s"], 4)
-                        for k, v in res["timings"].items()},
+                        for k, v in {**res["timings"],
+                                     **res2["timings"]}.items()},
             "generate_result": gen})
         return
 

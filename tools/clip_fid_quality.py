@@ -182,6 +182,15 @@ def main() -> None:
                         ("w8a8+vcache3", {"vc": 3}),
                         ("w8a8+vcache-sched3", {"vc": "sched"})]),
     ]
+    # CF_MODES: comma-separated mode-name filter (e.g. the round-5
+    # sched:K re-measurement needs only exact,vcache3,vcache-sched3 —
+    # "exact" always stays in, it anchors every comparison)
+    want = os.environ.get("CF_MODES")
+    if want:
+        keep = {m.strip() for m in want.split(",")} | {"exact"}
+        sections = [(t, a, [mk for mk in modes if mk[0] in keep])
+                    for t, a, modes in sections]
+        sections = [s for s in sections if s[2]]
 
     latents_by, feats_by = {}, {}
     params = params_bf16
