@@ -1223,6 +1223,11 @@ def bench_hires_fill(holder, cfg) -> dict:
             t0 = time.perf_counter()
             _ = np.asarray(step(params, lat)[0, 0, :1])
             t_step = time.perf_counter() - t0
+            # partial progress to stderr IMMEDIATELY: the round-5
+            # grid-175 first run measured the step and then lost it to
+            # a tiled-VAE OOM at the very end (JSON printed nothing)
+            print(f"# {pxkey} direct step: {t_step:.4f}s",
+                  file=sys.stderr, flush=True)
         except Exception:  # noqa: BLE001 — 12 GB int8 weights +
             # 16k-token activations exceed one v5e's HBM. NB: the
             # fallback must run OUTSIDE this handler — the live
@@ -1253,6 +1258,9 @@ def bench_hires_fill(holder, cfg) -> dict:
             _ = np.asarray(step8(params, lat)[0, 0, :1])
             out[f"{pxkey}_w8a8_step_seconds"] = round(
                 time.perf_counter() - t0, 4)
+            print(f"# {pxkey} w8a8 step: "
+                  f"{out[f'{pxkey}_w8a8_step_seconds']}s",
+                  file=sys.stderr, flush=True)
             del step8
         except Exception as e:  # noqa: BLE001 — W8A8 extra must not
             # lose the measured plain step
@@ -1340,10 +1348,32 @@ def bench_hires_fill(holder, cfg) -> dict:
         vae_mod.init(jax.random.PRNGKey(2), vcfg))
     z = jnp.asarray(rng.standard_normal((1, grid * 2, grid * 2, 16)), jnp.bfloat16)
     tiled = jax.jit(lambda p, z: vae_mod.decode_tiled(p, z, vcfg))
-    _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
-    t0 = time.perf_counter()
-    _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
-    t_vae = time.perf_counter() - t0
+    try:
+        _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
+        t0 = time.perf_counter()
+        _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
+        t_vae = time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001 — first grid-175 run: the
+        # tiled decode OOMed with the 12 GB weights + both step
+        # executables still resident and took the measured step numbers
+        # down with it. The decode must never lose the step results;
+        # retry once with the transformer executables and weights freed
+        # (serving note: at the 2800 px cap, decode-with-model-resident
+        # is HBM-marginal on one chip — recorded either way).
+        import gc
+        out[_pk("tiled_vae_model_resident")] = (
+            f"OOM with transformer resident: {type(e).__name__}")
+        params = None
+        gc.collect()
+        jax.clear_caches()   # drop the step/step8 executables+workspace
+        try:
+            _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
+            t0 = time.perf_counter()
+            _ = np.asarray(tiled(vparams, z)[0, 0, 0, :1])
+            t_vae = time.perf_counter() - t0
+        except Exception as e2:  # noqa: BLE001
+            out[_pk("tiled_vae_error")] = f"{type(e2).__name__}"
+            t_vae = -1.0
 
     from domainrag_tpu.eval import flops as flops_mod
     fl = flops_mod.flux_forward_flops(cfg, grid * grid, s_txt).total
