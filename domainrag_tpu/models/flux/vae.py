@@ -226,11 +226,16 @@ def decode_tiled(params: Params, latents: jax.Array,
             wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
             if out is None:
                 oh, ow = lh * f, lw * f
-                out = jnp.zeros((b, oh, ow, 3), patch.dtype)
+                # f32 accumulator: adding the f32 (patch*wmap) into a
+                # bf16 buffer is an unsafe-cast scatter (FutureWarning,
+                # error in future jax) and loses blend precision
+                out = jnp.zeros((b, oh, ow, 3), jnp.float32)
                 weight = jnp.zeros((1, oh, ow, 1), jnp.float32)
-            out = out.at[:, y0 * f:y1 * f, x0 * f:x1 * f].add(patch * wmap)
+                dtype = patch.dtype
+            out = out.at[:, y0 * f:y1 * f, x0 * f:x1 * f].add(
+                patch.astype(jnp.float32) * wmap)
             weight = weight.at[:, y0 * f:y1 * f, x0 * f:x1 * f].add(wmap)
-    return out / jnp.maximum(weight, 1e-8)
+    return (out / jnp.maximum(weight, 1e-8)).astype(dtype)
 
 
 def encode_tiled(params: Params, images: jax.Array,
@@ -265,11 +270,13 @@ def encode_tiled(params: Params, images: jax.Array,
             wmap = (wy[:, None] * wx[None, :])[None, :, :, None]
             if out is None:
                 out = jnp.zeros((b, lh, lw, cfg.latent_channels),
-                                patch.dtype)
+                                jnp.float32)      # see decode_tiled
                 weight = jnp.zeros((1, lh, lw, 1), jnp.float32)
-            out = out.at[:, y0:y1, x0:x1].add(patch * wmap)
+                dtype = patch.dtype
+            out = out.at[:, y0:y1, x0:x1].add(
+                patch.astype(jnp.float32) * wmap)
             weight = weight.at[:, y0:y1, x0:x1].add(wmap)
-    return out / jnp.maximum(weight, 1e-8)
+    return (out / jnp.maximum(weight, 1e-8)).astype(dtype)
 
 
 def _blend_profile(n: int, ramp_lo: int, ramp_hi: int) -> jax.Array:
