@@ -708,10 +708,15 @@ def _mp_flash_i8(q8, k8, v, qs, ks, valid: int, *, heads: int,
     args = [jnp.asarray([valid], jnp.int32),
             qs.astype(jnp.float32), ks.astype(jnp.float32), q8, k8, v]
     if int8_pv:
+        # (B, H, 128) -> (B, H, 1, 128): compiled pallas requires the
+        # block's last-two dims to divide (8, 128) or EQUAL the array's —
+        # a (1, 1, 128) block over (B, H, 128) has second-to-last 1 vs H
+        # and only lowered in interpret mode (found by the on-chip mpint8
+        # run at 31k tokens, round 5)
         in_specs.append(pl.BlockSpec(
-            (1, 1, 128), lambda b_, h, iq, ik: (b_, h, 0),
+            (1, 1, 1, 128), lambda b_, h, iq, ik: (b_, h, 0, 0),
             memory_space=pltpu.VMEM))
-        args.append(vs.astype(jnp.float32))
+        args.append(vs.astype(jnp.float32)[:, :, None, :])
     return pl.pallas_call(
         functools.partial(_flash_mp_kernel_i8, bkv=bkv, masked=masked,
                           int8_pv=int8_pv),

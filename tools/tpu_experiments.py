@@ -7,6 +7,7 @@ Timing through the axon tunnel must force a value fetch per rep — see
 BENCH_NOTES.md "measurement methodology caveat".
 """
 
+import os
 import sys
 import time
 
@@ -1679,7 +1680,12 @@ def exp_mpint8():
     h = heads * hd
     cfg = flux.FLUX_DEV
 
-    for s_img, hw in [(16384, (128, 128)), (30625, (175, 175))]:
+    shapes = [(16384, (128, 128)), (30625, (175, 175))]
+    if os.environ.get("MPINT8_SHAPES"):   # e.g. "30625" to rerun one cell
+        keep = {int(s) for s in os.environ["MPINT8_SHAPES"].split(",")}
+        shapes = [sh for sh in shapes if sh[0] in keep]
+    mode_filter = os.environ.get("MPINT8_MODES")  # e.g. "int8qk+pv"
+    for s_img, hw in shapes:
         s_txt = 512
         ids = np.concatenate([flux.make_text_ids(s_txt),
                               flux.make_image_ids(*hw)])
@@ -1732,6 +1738,8 @@ def exp_mpint8():
         for mode, qk, pv in [("bf16", False, False),
                              ("int8qk", True, False),
                              ("int8qk+pv", True, True)]:
+            if mode_filter and mode not in mode_filter.split(","):
+                continue
             mma.set_int8_qk(qk)
             mma.set_int8_pv(pv)
             try:
@@ -1759,6 +1767,8 @@ def exp_mpint8():
             finally:
                 mma.set_int8_qk(False)
                 mma.set_int8_pv(False)
+        if mode_filter and "unfused" not in mode_filter.split(","):
+            continue
         tr = _slope_time(chain_d(lambda tq, iq: mma._reference_double(
             tq, iq, wq, wk, wq, wk, cos, sin, heads, hd)), c_lo=2, c_hi=6)
         trs = _slope_time(chain_s(lambda p: mma._reference_single(
