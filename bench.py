@@ -788,9 +788,13 @@ def _pipebench_cfg():
             sampling=dataclasses.replace(cfg.generate.sampling,
                                          num_steps=steps, height=size,
                                          width=size),
-            # measured single-chip ceiling next to the 12 GB int8 tree
-            # (BENCH_NOTES r3; config.GenerateConfig.max_rank_batch note)
-            max_rank_batch=2),
+            # the repo's own single-chip serving guidance (BENCH_NOTES
+            # "Measured batch scaling on ONE chip": batch 2 is SLOWER
+            # per image, and in the pipeline phase — where the VAE/
+            # SigLIP/Redux co-reside with the 12 GB int8 tree — the
+            # batch-2 denoise graph's compile estimate is 19.31 GB vs
+            # 15.75 GB HBM (measured OOM, round 5)
+            max_rank_batch=1),
         compose=dataclasses.replace(
             cfg.compose, num_steps=steps,
             dataset_params={_PIPE_DATASET: DatasetParams(
