@@ -797,6 +797,9 @@ def _pipebench_cfg():
             max_rank_batch=1),
         compose=dataclasses.replace(
             cfg.compose, num_steps=steps,
+            # same single-chip guidance as generate: the one-batch
+            # <=5-bg fill graph OOMs at 20.29 GB (measured, round 5)
+            max_rank_batch=1,
             dataset_params={_PIPE_DATASET: DatasetParams(
                 upscale_dimension=size)}))
 

@@ -109,6 +109,10 @@ def _build_cfg(args) -> PipelineConfig:
         resolution=ResolutionPolicy(max_dimension=args.max_dimension),
         num_steps=args.steps,
         dataset_params=dataset_params,
+        # same single-chip ceiling as generate: the <=5-bg one-batch
+        # 1024 px fill graph needs 20.29 GB next to the 12 GB int8 tree
+        # (measured OOM, round-5 pipeline bench)
+        max_rank_batch=getattr(args, "max_rank_batch", None),
         # fill takes every form — "auto"/"sched:K" calibrate ON the fill
         # core against the call's own first sample (calibrate_fill_vcache)
         velocity_cache_interval=vci,
@@ -256,8 +260,11 @@ def _add_common(p: argparse.ArgumentParser):
                         "in sigma (default), 0 = hold last velocity")
     p.add_argument("--max_rank_batch", type=int, default=None,
                    help="single-chip HBM ceiling: denoise a sample's "
-                        "ranks in chunks of N (int8 12B on one 16 GB "
-                        "v5e fits N=2 measured, 4+ crash; default: no chunking)")
+                        "ranks (generate) and background fills "
+                        "(compose) in chunks of N — on one 16 GB v5e "
+                        "use 1 (batch 2 fits but is slower per image "
+                        "and the 5-bg compose batch OOMs, measured; "
+                        "default: no chunking)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="TP degree for the Flux MMDiT (devices must be "
                         "divisible)")

@@ -204,6 +204,12 @@ class ComposeConfig:
 
     resolution: ResolutionPolicy = field(default_factory=ResolutionPolicy)
     num_steps: int = 50
+    # single-chip HBM ceiling for the batched-background fill: the
+    # all-ranks-as-one-batch fill graph (<=5 bgs) needs 20.29 GB at
+    # 1024 px next to the 12 GB int8 fill tree (measured OOM, round-5
+    # pipeline bench) — on one chip set 1; None = one batch (multi-chip
+    # meshes shard the batch instead and need no chunking)
+    max_rank_batch: object = None
     dataset_params: Dict[str, DatasetParams] = field(
         default_factory=lambda: dict(DATASET_PARAMS))
     # round fill resolutions up to this multiple (0 = exact sizes).

@@ -207,15 +207,16 @@ class ComposeStage:
 
         seeds = [self.seed if self.seed is not None
                  else random.randint(0, 2**32 - 1) for _ in bg_paths]
-        with timer.span("fill"):
-            results = flux_pipeline.fill_batch(
+
+        def fill(emb, pool, sds, nb):
+            return flux_pipeline.fill_batch(
                 self.bundle, np.broadcast_to(
-                    processed_np, (n_bg,) + processed_np.shape),
-                np.broadcast_to(keep_mask, (n_bg,) + keep_mask.shape),
-                embeds_all, pooled_all,
+                    processed_np, (nb,) + processed_np.shape),
+                np.broadcast_to(keep_mask, (nb,) + keep_mask.shape),
+                emb, pool,
                 num_steps=self.cfg.num_steps,
                 guidance=params.guidance_scale,
-                strength=params.strength, seeds=seeds,
+                strength=params.strength, seeds=sds,
                 mesh=self.pipe_mesh if self.pipe_mesh is not None
                 else self.mesh,
                 pipe_axis=self.pipe_axis if self.pipe_mesh is not None
@@ -225,6 +226,21 @@ class ComposeStage:
                     self.cfg, "velocity_cache_interval", 1),
                 velocity_cache_order=getattr(
                     self.cfg, "velocity_cache_order", 1))
+
+        mb = getattr(self.cfg, "max_rank_batch", None)
+        with timer.span("fill"):
+            if mb and self.pipe_mesh is None and n_bg > mb:
+                # single-chip HBM ceiling (the <=5-bg one-batch fill
+                # graph OOMs at 20.29 GB next to the 12 GB int8 tree,
+                # round-5 pipeline bench): fill in chunks through the
+                # same compiled core, mirroring the generate stage's
+                # max_rank_batch chunking
+                results = np.concatenate([
+                    fill(embeds_all[i:i + mb], pooled_all[i:i + mb],
+                         seeds[i:i + mb], min(mb, n_bg - i))
+                    for i in range(0, n_bg, mb)])
+            else:
+                results = fill(embeds_all, pooled_all, seeds, n_bg)
             if pad_h or pad_w:
                 results = results[:, :aligned_h, :aligned_w]
 

@@ -173,6 +173,39 @@ def test_compose_resolution_bucketing(runner, toy_env):
     assert final.size == original.size
 
 
+def test_compose_max_rank_batch_chunks_equal_unchunked(runner, toy_env):
+    """Background-fill chunking (single-chip HBM ceiling: the <=5-bg
+    one-batch 1024 px fill graph needs 20.29 GB next to the 12 GB int8
+    tree — measured OOM, round-5 pipeline bench) produces the same
+    composites as the one-batch fill."""
+    import dataclasses
+    from domainrag_tpu.stages import compose as comp
+    from domainrag_tpu.core import imaging
+    from PIL import Image
+    root, _ = toy_env
+    original = imaging.load_rgb(
+        str(root / "datasets/NEU-DET/train/crazing_1.jpg"))
+    bgs = comp.find_sample_backgrounds(
+        str(root / "output/result"), "NEU-DET", 1, "crazing_1")[:2]
+    assert len(bgs) == 2
+    outs = {}
+    for name, cfg in (("one", runner.cfg.compose),
+                      ("chunk", dataclasses.replace(
+                          runner.cfg.compose, max_rank_batch=1))):
+        stage = comp.ComposeStage(runner.fill_bundle, cfg,
+                                  process_id=name, seed=0)
+        log = stage.process_sample(
+            "NEU-DET", 1, "crazing_1", original, [(4, 4, 12, 10)],
+            ["crazing"], bgs, str(root / f"output/mrb_{name}"),
+            image_id=1)
+        assert log["status"] == "completed"
+        assert len(log["outpainted_images"]) == 2
+        outs[name] = [np.asarray(Image.open(r["final_result_path"]))
+                      for r in log["outpainted_images"]]
+    for a, b in zip(outs["one"], outs["chunk"]):
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
 def test_compose_fallback_without_annotations(runner, toy_env):
     """A sample present in the generate results but missing from the
     annotations composes via the target_input.png fallback with a default
