@@ -547,9 +547,9 @@ def main() -> None:
     # piece and an OOM here must not take the other sections with it.
     # The params travel in a holder so the section can FREE the 12 GB
     # before its reduced-depth fallback.
+    holder = {"params": params, "latents": latents}
+    del params, latents
     if quantized:
-        holder = {"params": params, "latents": latents}
-        del params, latents
         _section("BENCH_HIRES", "0", "hires2048", bench_hires_fill,
                  holder, cfg)
     elif os.environ.get("BENCH_HIRES", "0") == "1":
@@ -557,12 +557,13 @@ def main() -> None:
     # train/retrscale run LAST: the train section's proxy params + grads
     # + f32 Adam moments (~11 GB at depth 2,3) and the 500k-row f32 bank
     # (~1 GB) do not fit HBM next to the full 12 GB int8 weights, so the
-    # headline weights must be released first (they live in the hires
-    # holder by this point; in proxy mode they were never the full 12 GB).
+    # headline weights must be released first. This holds in PROXY mode
+    # too: the depth-2,3 noremat train cell OOMs next to the leftover
+    # (1,2) headline proxy + latents (measured, round 5), so the holder
+    # clears unconditionally.
     if (os.environ.get("BENCH_TRAIN", "0") == "1"
             or os.environ.get("BENCH_RETRSCALE", "0") == "1"):
-        if quantized:
-            holder.clear()
+        holder.clear()
     _section("BENCH_TRAIN", "0", "train", bench_train_step)
     _section("BENCH_RETRSCALE", "0", "retrscale", bench_retrieval_scale)
     if on_tpu:
@@ -650,7 +651,15 @@ def _train_cells(out, dd, ds, dtag, batches, flops_mod, flux, fm,
 def _train_remat_cells(out, batch, batch_d, dtag, cfg, params, fwd,
                        flops_mod, fm, functools, jax, jnp) -> None:
     key = jax.random.PRNGKey(0)
+    # BENCH_TRAIN_REMAT: "remat" / "noremat" / "both" (default). A TPU
+    # OOM poisons subsequent allocations in the same process through
+    # the axon tunnel (measured: the b1-noremat OOM took every later
+    # grid cell with it), so tools/train_grid.py sweeps the grid as
+    # one-cell fresh processes using this filter.
+    which = os.environ.get("BENCH_TRAIN_REMAT", "both")
     for remat in (True, False):
+        if which != "both" and remat != (which == "remat"):
+            continue
         tc = fm.TrainConfig(remat=remat)
         opt = fm.make_optimizer(tc)
 
