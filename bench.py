@@ -233,7 +233,12 @@ def main() -> None:
         px = cfg.generate.sampling.height
         steps = cfg.generate.sampling.num_steps
         print(json.dumps({
-            "metric": f"full-pipeline-{px}px-{steps}step",
+            "metric": f"full-pipeline-{px}px-{steps}step"
+            + ("-w8a8" if os.environ.get("BENCH_PIPELINE_W8A8") == "1"
+               else "")
+            + (f"-vcache{os.environ['BENCH_PIPELINE_VCACHE']}"
+               if os.environ.get("BENCH_PIPELINE_VCACHE", "1") != "1"
+               else ""),
             **bench_full_pipeline()}))
         return
     if os.environ.get("BENCH_ONLY_HIRES") == "1" and on_tpu:
@@ -790,13 +795,18 @@ def _pipebench_cfg():
     size = 32 if tiny else 1024
     cfg = PipelineConfig(datasets=(_PIPE_DATASET,), shots=(1,),
                          datasets_dir=p["datasets"], output_dir=p["out"])
+    # BENCH_PIPELINE_VCACHE=N: fast-mode end-to-end run — both denoise
+    # stages use the velocity cache at interval N (labeled mode, image-
+    # space budgets in BENCH_NOTES); composes with BENCH_PIPELINE_W8A8=1
+    vc = int(os.environ.get("BENCH_PIPELINE_VCACHE", "1"))
     return dataclasses.replace(
         cfg,
         generate=dataclasses.replace(
             cfg.generate,
             sampling=dataclasses.replace(cfg.generate.sampling,
                                          num_steps=steps, height=size,
-                                         width=size),
+                                         width=size,
+                                         velocity_cache_interval=vc),
             # the repo's own single-chip serving guidance (BENCH_NOTES
             # "Measured batch scaling on ONE chip": batch 2 is SLOWER
             # per image, and in the pipeline phase — where the VAE/
@@ -806,6 +816,7 @@ def _pipebench_cfg():
             max_rank_batch=1),
         compose=dataclasses.replace(
             cfg.compose, num_steps=steps,
+            velocity_cache_interval=vc,
             # same single-chip guidance as generate: the one-batch
             # <=5-bg fill graph OOMs at 20.29 GB (measured, round 5)
             max_rank_batch=1,
@@ -904,6 +915,12 @@ def bench_pipeline_phase(phase: str) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from domainrag_tpu.pipeline.orchestrator import PipelineRunner
     cfg = _pipebench_cfg()
+    if os.environ.get("BENCH_PIPELINE_W8A8", "0") == "1" and \
+            phase in ("main3", "compose"):
+        # fast-mode end-to-end: int8 activations through the denoise
+        # phases (the text/encoder phase stays bf16, as in serving)
+        from domainrag_tpu.models import common as _common
+        _common.set_int8_activations(True)
 
     if phase == "textencode":
         import jax.numpy as jnp
