@@ -367,6 +367,34 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — cache adds ~1.6 GB HBM
             blockcache_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
 
+    # W8A8 serving (ops/int8_gemm.py: the Pallas GEMM engages the v5e's
+    # native 394-TOPS int8 MXU, ~1.5x the bf16-compute step). Default-on
+    # section so every BENCH_r*.json records both modes; the headline
+    # stays int8-weight/bf16-compute (W8A8 quantizes activations and
+    # drifts outputs — quality ladder in tools/w8a8_quality.py).
+    # Measured BEFORE the experimental vcache capstone: as the THIRD
+    # resident full graph the retraced W8A8 step read 0.4394 s vs its
+    # true 0.2999 s (round 5, tunnel-side executable freeing strikes
+    # again) — the labeled number runs second, the experimental one
+    # absorbs the co-residency risk.
+    w8a8_ipm = None
+    if quantized and not w8a8 \
+            and os.environ.get("BENCH_W8A8_SECTION", "1") != "0":
+        from domainrag_tpu.models import common as _common
+        try:
+            # the toggle clears compiled caches; the next denoise call
+            # retraces with the int8-activation path
+            _common.set_int8_activations(True)
+            _ = np.asarray(denoise(params, latents)[0, 0, :1])
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _ = np.asarray(denoise(params, latents)[0, 0, :1])
+            w8a8_ipm = batch * 60.0 * reps / (time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — keep the headline alive
+            w8a8_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
+        finally:
+            _common.set_int8_activations(False)
+
     # Velocity-extrapolation cache section (pipeline._vcache_denoise —
     # the transformer runs every Nth step, skipped steps integrate an
     # extrapolated velocity; state is two latent-sized f32 buffers, so it
@@ -408,29 +436,6 @@ def main() -> None:
         finally:
             if not w8a8:
                 _common.set_int8_activations(False)
-
-    # W8A8 serving (ops/int8_gemm.py: the Pallas GEMM engages the v5e's
-    # native 394-TOPS int8 MXU, ~1.5x the bf16-compute step). Default-on
-    # section so every BENCH_r*.json records both modes; the headline
-    # stays int8-weight/bf16-compute (W8A8 quantizes activations and
-    # drifts outputs — quality ladder in tools/w8a8_quality.py).
-    w8a8_ipm = None
-    if quantized and not w8a8 \
-            and os.environ.get("BENCH_W8A8_SECTION", "1") != "0":
-        from domainrag_tpu.models import common as _common
-        try:
-            # the toggle clears compiled caches; the next denoise call
-            # retraces with the int8-activation path
-            _common.set_int8_activations(True)
-            _ = np.asarray(denoise(params, latents)[0, 0, :1])
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                _ = np.asarray(denoise(params, latents)[0, 0, :1])
-            w8a8_ipm = batch * 60.0 * reps / (time.perf_counter() - t0)
-        except Exception as e:  # noqa: BLE001 — keep the headline alive
-            w8a8_ipm = f"error: {type(e).__name__}: {str(e)[:80]}"
-        finally:
-            _common.set_int8_activations(False)
 
     if quantized:
         images_per_min = batch * 60.0 / elapsed
