@@ -48,8 +48,9 @@ def _corpus_sources(specs: List[str]) -> Dict[str, List[str]]:
 
 def _parse_vcache_interval(v: str):
     """--velocity_cache_interval forms: int N (uniform), "auto"
-    (budget-calibrated uniform interval), "sched:K" (DP-calibrated
-    non-uniform anchors at uniform-K model-call parity), or an explicit
+    (budget-calibrated uniform interval), "sched:K" (DP-placed anchors
+    at uniform-K model-call parity, scored against uniform-K on
+    VAE-decoded image divergence — the winner ships), or an explicit
     comma list of anchor step indices ("0,2,5,9,...")."""
     if v == "auto" or v.startswith("sched:"):
         if v.startswith("sched:"):
@@ -246,10 +247,11 @@ def _add_common(p: argparse.ArgumentParser):
                         "change — BENCH_NOTES.md). 1 = exact. Mutually "
                         "exclusive with --block_cache_interval. 'auto' "
                         "calibrates as for the block cache; 'sched:K' "
-                        "keeps uniform-K's model-call count but places "
-                        "the computed steps NON-uniformly where a "
-                        "recorded probe trajectory bends most (DP-"
-                        "optimal under the frozen-field surrogate); an "
+                        "keeps uniform-K's model-call count but scores "
+                        "the DP-placed anchors AGAINST uniform-K on "
+                        "VAE-decoded image divergence and ships the "
+                        "winner (round 5 — it can no longer rank below "
+                        "uniform under its own metric); an "
                         "explicit comma list '0,2,5,...' pins anchor "
                         "step indices directly. (generate stage only "
                         "for 'auto'/'sched:'; the fill stage uses N or "
