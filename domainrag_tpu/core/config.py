@@ -192,7 +192,10 @@ class GenerateConfig:
     top_ranks: int = 5               # ranks 1..5 (ref :996-999,1288-1303)
     # single-chip HBM ceiling for the batched-rank denoise: the 12B int8
     # weights (~12 GB) plus per-rank activations fit batch 2 on a 16 GB
-    # v5e (batches 4 and 5 crash the worker — measured, BENCH_NOTES r3);
+    # v5e (batches 4 and 5 crash the worker — measured, BENCH_NOTES r3),
+    # but batch 2 is SLOWER per image than 1 (measured, r4) and OOMs
+    # when the VAE/SigLIP/Redux co-reside as in full-pipeline serving
+    # (19.31 GB compile estimate — measured, r5): use 1 on one chip.
     # None = denoise all ranks in one batch (multi-chip meshes shard the
     # batch instead and need no chunking)
     max_rank_batch: object = None
