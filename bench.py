@@ -241,6 +241,14 @@ def main() -> None:
                else ""),
             **bench_full_pipeline()}))
         return
+    if os.environ.get("BENCH_FILLRUN") == "1" and on_tpu:
+        # fresh-process complete fill at the 2800 px cap — the round-5
+        # per-step numbers (9.56 s int8w / 8.10 s W8A8) measured single
+        # steps; this runs the ENTIRE 50-step strength-trimmed denoise
+        # loop + tiled VAE encode/decode through the real fill_batch API
+        # at the reference's max shape (outpainting...py:104-108)
+        print(json.dumps(bench_fill_fullrun()))
+        return
     if os.environ.get("BENCH_ONLY_HIRES") == "1" and on_tpu:
         # fresh-process 2048 px fill entry: device-buffer freeing through
         # the axon tunnel is unreliable, so the hires measurement gets a
@@ -1207,6 +1215,71 @@ def bench_e2e_components(denoise_seconds: float) -> dict:
         "e2e_images_per_min": round(60.0 / total, 4),
         "e2e_denoise_share": round(denoise_seconds / total, 4),
     }
+
+
+def bench_fill_fullrun() -> dict:
+    """One COMPLETE Flux-Fill outpaint at the 2800 px cap on one chip
+    (fresh process): full int8 FLUX_FILL_DEV + bf16 VAE, border
+    keep-mask, reference configs (50 steps, guidance 30, strength 0.9 →
+    45 trimmed steps), through the real serving API
+    (flux_pipeline.fill_batch — tiled VAE encode/decode, multipass fused
+    attention at ~31k tokens). BENCH_FILLRUN_W8A8=1 switches to int8
+    activations; BENCH_FILLRUN_VCACHE=N adds the velocity cache
+    (labeled fast mode). Matches the reference's max fill shape,
+    outpainting_updown_sampling_redux.py:104-108."""
+    import jax.numpy as jnp
+    from domainrag_tpu.models import common as _common
+    from domainrag_tpu.models import clip as clip_mod
+    from domainrag_tpu.models import t5 as t5_mod
+    from domainrag_tpu.models.flux import pipeline as fp
+    from domainrag_tpu.models.flux import vae as vae_mod
+
+    px = int(os.environ.get("BENCH_FILLRUN_PX", "2800"))
+    steps = int(os.environ.get("BENCH_FILLRUN_STEPS", "50"))
+    vc = int(os.environ.get("BENCH_FILLRUN_VCACHE", "1"))
+    w8a8 = os.environ.get("BENCH_FILLRUN_W8A8", "0") == "1"
+    vae_cfg = vae_mod.FLUX_VAE
+    vae_params = _synth_bf16_tree(lambda k: vae_mod.init(k, vae_cfg), 1)
+    cfg, params = build_full_int8(fill=True)
+    bundle = fp.FluxBundle(
+        flux_params=params, flux_cfg=cfg, vae_params=vae_params,
+        vae_cfg=vae_cfg, t5_params=None, t5_cfg=t5_mod.T5_XXL,
+        clip_text_params=None, clip_text_cfg=clip_mod.ClipTextConfig(),
+        compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (1, px, px, 3), dtype=np.uint8)
+    # outpaint-style border mask: keep the center 40 %, fill the rest
+    mask = np.full((1, px, px), 255, np.uint8)
+    lo, hi = int(px * 0.3), int(px * 0.7)
+    mask[:, lo:hi, lo:hi] = 0
+    # true serving conditioning: T5 512 + Redux 729 tokens (BENCH_NOTES
+    # "the overhead is conditioning length")
+    embeds = jnp.asarray(rng.standard_normal((1, 1241, 4096)),
+                         jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    if w8a8:
+        _common.set_int8_activations(True)
+    tag = ("w8a8" if w8a8 else "int8w") + \
+        (f"+vcache{vc}" if vc != 1 else "")
+    try:
+        t0 = time.perf_counter()
+        out = fp.fill_batch(bundle, image, mask, embeds, pooled,
+                            num_steps=steps, guidance=30.0, strength=0.9,
+                            seeds=[0], velocity_cache_interval=vc)
+        wall_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fp.fill_batch(bundle, image, mask, embeds, pooled,
+                            num_steps=steps, guidance=30.0, strength=0.9,
+                            seeds=[0], velocity_cache_interval=vc)
+        wall = time.perf_counter() - t0
+    finally:
+        _common.set_int8_activations(False)
+    finite = bool(np.isfinite(out.astype(np.float32)).all())
+    return {"metric": f"flux-fill-{px}px-{steps}step-complete({tag})",
+            "value": round(wall, 2), "unit": "s/image",
+            "vs_baseline": round(wall, 2),
+            "first_call_incl_compile_s": round(wall_compile, 1),
+            "out_shape": list(out.shape), "outputs_finite": finite}
 
 
 def bench_hires_fill(holder, cfg) -> dict:

@@ -463,7 +463,15 @@ def _fill_conditioning(vae_params, image, mask, noise, sigmas, vae_cfg,
     masked_tokens = flux_mod.pack_latents(enc(masked))
     mask_tokens = pack_mask(mask, vae_cfg.spatial_factor)
     image_tokens = flux_mod.pack_latents(enc(image))
-    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0])
+    # scale_noise's f32 sigma silently promoted the latents — and with
+    # flux.apply inheriting its INPUT dtype, the entire fill transformer
+    # then ran in f32 with the unfused reference attention (found by the
+    # round-5 full 2800 px fill run, where the f32 unfused flash kernel
+    # VMEM-OOMs at 31k tokens; at 1024 px it just silently cost ~2x).
+    # The denoise stream must stay in the compute dtype; the scheduler
+    # still does its f32 state updates internally (euler_step).
+    latents = sched_mod.scale_noise(image_tokens, noise, sigmas[0]) \
+        .astype(noise.dtype)
     cond = jnp.concatenate(
         [masked_tokens, mask_tokens], axis=-1).astype(latents.dtype)
     return latents, cond
@@ -1204,6 +1212,68 @@ def _fill_core(flux_params, vae_params, image, mask, noise, prompt_embeds,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("vae_cfg", "tiled_vae", "vae_tile", "vae_overlap"))
+def _fill_cond_jit(vae_params, image, mask, noise, sigmas,
+                   vae_cfg: vae_mod.VaeConfig, tiled_vae: bool,
+                   vae_tile: int, vae_overlap: int):
+    return _fill_conditioning(vae_params, image, mask, noise, sigmas,
+                              vae_cfg, tiled_vae, vae_tile, vae_overlap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_h", "grid_w", "tp_tag",
+                     "vcache_interval", "vcache_order"))
+def _fill_denoise_jit(flux_params, latents, cond, prompt_embeds, pooled,
+                      sigmas, guidance, cfg: flux_mod.FluxConfig,
+                      grid_h: int, grid_w: int, tp_tag: str,
+                      vcache_interval=1, vcache_order: int = 1):
+    img_ids = jnp.asarray(flux_mod.make_image_ids(grid_h, grid_w))
+    txt_ids = jnp.asarray(flux_mod.make_text_ids(prompt_embeds.shape[1]))
+    base_fn = _dense_model_fn(flux_params, prompt_embeds, pooled,
+                              guidance, img_ids, txt_ids, cfg)
+    model_fn = lambda x, sigma: base_fn(  # noqa: E731
+        jnp.concatenate([x, cond], axis=-1), sigma)
+    return _pick_denoise(model_fn, latents, sigmas, vcache_interval,
+                         vcache_order)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vae_cfg", "grid_h", "grid_w", "tiled_vae",
+                     "vae_tile", "vae_overlap"))
+def _decode_tokens_jit(vae_params, tokens, grid_h: int, grid_w: int,
+                       vae_cfg: vae_mod.VaeConfig, tiled_vae: bool,
+                       vae_tile: int, vae_overlap: int):
+    return _decode_tokens(vae_params, tokens, grid_h, grid_w, vae_cfg,
+                          tiled_vae, vae_tile, vae_overlap)
+
+
+def _fill_core_staged(flux_params, vae_params, image, mask, noise,
+                      prompt_embeds, pooled, sigmas, guidance, *,
+                      cfg, vae_cfg, grid_h, grid_w, tp_tag,
+                      vae_tile, vae_overlap, vcache_interval,
+                      vcache_order):
+    """Single-chip hires fill: the one-graph ``_fill_core`` at the
+    2800 px cap needs 20.91 GB of HBM at compile time (tiled VAE
+    encode ×2 + the 45-step denoise + tiled decode next to the 12 GB
+    int8 tree — measured OOM, round 5), so the three phases run as
+    separate executables whose peaks fit 16 GB individually. Costs two
+    extra dispatches per image (~ms) against a multi-minute graph."""
+    latents, cond = _fill_cond_jit(vae_params, image, mask, noise,
+                                   sigmas, vae_cfg, True, vae_tile,
+                                   vae_overlap)
+    toks = _fill_denoise_jit(flux_params, latents, cond, prompt_embeds,
+                             pooled, sigmas, guidance, cfg, grid_h,
+                             grid_w, tp_tag, vcache_interval,
+                             vcache_order)
+    del latents, cond
+    return _decode_tokens_jit(vae_params, toks, grid_h, grid_w, vae_cfg,
+                              True, vae_tile, vae_overlap)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "vae_cfg", "grid_h", "grid_w", "tp_tag",
                      "tiled_vae", "vae_tile", "vae_overlap",
                      "vcache_interval", "vcache_order", "record"))
@@ -1541,6 +1611,21 @@ def fill_batch(bundle: FluxBundle, images: np.ndarray, masks: np.ndarray,
 
     dp_map = (mesh is not None and not hires and bundle.tp_mesh is None
               and mesh.shape.get(data_axis, 1) > 1)
+    if hires and mesh is None:
+        # single-chip cap regime: staged three-executable path (the
+        # one-graph core's compile-time peak exceeds HBM — see
+        # _fill_core_staged)
+        with _tp_context(bundle):
+            out = _fill_core_staged(
+                bundle.flux_params, bundle.vae_params, img, m, noise,
+                embeds, pooled_c, jnp.asarray(schedule.sigmas),
+                jnp.float32(guidance), cfg=bundle.flux_cfg,
+                vae_cfg=bundle.vae_cfg, grid_h=grid_h, grid_w=grid_w,
+                tp_tag=_tp_tag(bundle) + "/" + sp_tag,
+                vae_tile=vae_tile, vae_overlap=vae_overlap,
+                vcache_interval=velocity_cache_interval,
+                vcache_order=velocity_cache_order)
+        return to_uint8(np.asarray(out, np.float32))[:n_real]
     with _tp_context(bundle), sp_ctx:
         core = (_dp_wrap(_fill_core, mesh, data_axis, 5, 2,
                          cfg=bundle.flux_cfg, vae_cfg=bundle.vae_cfg,

@@ -217,7 +217,17 @@ def decode_tiled(params: Params, latents: jax.Array,
         for x in xs:
             y1, x1 = min(y + tile, lh), min(x + tile, lw)
             y0, x0 = max(y1 - tile, 0), max(x1 - tile, 0)
-            patch = decode(params, latents[:, y0:y1, x0:x1], cfg)
+            lat_in = latents[:, y0:y1, x0:x1]
+            if out is not None:
+                # serialize tiles: the unrolled patch decoders have no
+                # data dependence on each other (only the blend adds
+                # chain), so XLA overlaps several tiles' activations and
+                # the compile-time peak defeats the memory bound the
+                # tiling exists for (measured: the 2800 px fill decode
+                # graph asked for 20.63 GB, round 5). The barrier makes
+                # each tile's input depend on the running accumulator.
+                lat_in, out = jax.lax.optimization_barrier((lat_in, out))
+            patch = decode(params, lat_in, cfg)
             ph, pw = patch.shape[1], patch.shape[2]
             wy = _blend_profile(ph, (y0 > 0) * overlap * f,
                                 (y1 < lh) * overlap * f)
@@ -261,9 +271,12 @@ def encode_tiled(params: Params, images: jax.Array,
         for x in xs:
             y1, x1 = min(y + tile, lh), min(x + tile, lw)
             y0, x0 = max(y1 - tile, 0), max(x1 - tile, 0)
-            patch = encode(params,
-                           images[:, y0 * f:y1 * f, x0 * f:x1 * f], cfg,
-                           key=key)
+            img_in = images[:, y0 * f:y1 * f, x0 * f:x1 * f]
+            if out is not None:
+                # serialize tiles (see decode_tiled): bound the
+                # compile-time activation peak to ~one tile
+                img_in, out = jax.lax.optimization_barrier((img_in, out))
+            patch = encode(params, img_in, cfg, key=key)
             ph, pw = patch.shape[1], patch.shape[2]
             wy = _blend_profile(ph, (y0 > 0) * overlap, (y1 < lh) * overlap)
             wx = _blend_profile(pw, (x0 > 0) * overlap, (x1 < lw) * overlap)
