@@ -1218,68 +1218,164 @@ def bench_e2e_components(denoise_seconds: float) -> dict:
 
 
 def bench_fill_fullrun() -> dict:
-    """One COMPLETE Flux-Fill outpaint at the 2800 px cap on one chip
-    (fresh process): full int8 FLUX_FILL_DEV + bf16 VAE, border
-    keep-mask, reference configs (50 steps, guidance 30, strength 0.9 →
-    45 trimmed steps), through the real serving API
-    (flux_pipeline.fill_batch — tiled VAE encode/decode, multipass fused
-    attention at ~31k tokens). BENCH_FILLRUN_W8A8=1 switches to int8
-    activations; BENCH_FILLRUN_VCACHE=N adds the velocity cache
-    (labeled fast mode). Matches the reference's max fill shape,
+    """One COMPLETE Flux-Fill outpaint at the 2800 px cap, as THREE
+    fresh processes: VAE-only conditioning → 12 B denoise → VAE-only
+    decode (handoff via npz in /tmp). The single-process attempt is
+    documented in BENCH_NOTES: the one-graph core's compile estimate is
+    20.91 GB; staged jits compile individually but the remote worker
+    CRASHES at runtime once the second big executable runs (the same
+    tunnel-side freeing pathology as BENCH_NOTES' "batches 4 and 5
+    crash the worker" — per-phase process residency is this
+    environment's established answer, exactly as BENCH_PIPELINE runs
+    its phases). Reference configs: 50 steps, guidance 30, strength
+    0.9 → 45 trimmed steps, 1241-token serving conditioning.
+    BENCH_FILLRUN_W8A8=1 / BENCH_FILLRUN_VCACHE=N select the labeled
+    fast modes. Matches the reference's max fill shape,
     outpainting_updown_sampling_redux.py:104-108."""
+    import subprocess
+    phase = os.environ.get("BENCH_FILLRUN_PHASE")
+    if phase:
+        return _fillrun_phase(phase)
+    px = int(os.environ.get("BENCH_FILLRUN_PX", "2800"))
+    steps = int(os.environ.get("BENCH_FILLRUN_STEPS", "50"))
+    vc = int(os.environ.get("BENCH_FILLRUN_VCACHE", "1"))
+    w8a8 = os.environ.get("BENCH_FILLRUN_W8A8", "0") == "1"
+    tag = ("w8a8" if w8a8 else "int8w") + \
+        (f"+vcache{vc}" if vc != 1 else "")
+    out = {"metric": f"flux-fill-{px}px-{steps}step-complete({tag})"}
+    wall = {}
+    for ph in ("cond", "denoise", "decode"):
+        env = dict(os.environ, BENCH_FILLRUN="1", BENCH_FILLRUN_PHASE=ph)
+        t0 = time.perf_counter()
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, stdout=sys.stderr, stderr=sys.stderr)
+        wall[ph] = round(time.perf_counter() - t0, 1)
+        if r.returncode != 0:
+            out.update(value=0.0, unit="s/image", vs_baseline=0.0,
+                       error=f"phase {ph} rc {r.returncode}",
+                       phase_wall_s=wall)
+            return out
+    with open(_fillrun_path("timing.json")) as f:
+        timing = json.load(f)
+    out.update(value=round(timing["steady_total_s"], 2), unit="s/image",
+               vs_baseline=round(timing["steady_total_s"], 2),
+               phase_wall_s=wall, **timing)
+    return out
+
+
+def _fillrun_path(name: str) -> str:
+    d = "/tmp/drtpu_fillrun"
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+def _fillrun_phase(phase: str) -> dict:
+    import jax
     import jax.numpy as jnp
     from domainrag_tpu.models import common as _common
-    from domainrag_tpu.models import clip as clip_mod
-    from domainrag_tpu.models import t5 as t5_mod
     from domainrag_tpu.models.flux import pipeline as fp
+    from domainrag_tpu.models.flux import scheduler as sched_mod
     from domainrag_tpu.models.flux import vae as vae_mod
 
     px = int(os.environ.get("BENCH_FILLRUN_PX", "2800"))
     steps = int(os.environ.get("BENCH_FILLRUN_STEPS", "50"))
     vc = int(os.environ.get("BENCH_FILLRUN_VCACHE", "1"))
     w8a8 = os.environ.get("BENCH_FILLRUN_W8A8", "0") == "1"
+    grid = px // 16
+    seq = grid * grid
     vae_cfg = vae_mod.FLUX_VAE
-    vae_params = _synth_bf16_tree(lambda k: vae_mod.init(k, vae_cfg), 1)
-    cfg, params = build_full_int8(fill=True)
-    bundle = fp.FluxBundle(
-        flux_params=params, flux_cfg=cfg, vae_params=vae_params,
-        vae_cfg=vae_cfg, t5_params=None, t5_cfg=t5_mod.T5_XXL,
-        clip_text_params=None, clip_text_cfg=clip_mod.ClipTextConfig(),
-        compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    image = rng.integers(0, 255, (1, px, px, 3), dtype=np.uint8)
-    # outpaint-style border mask: keep the center 40 %, fill the rest
-    mask = np.full((1, px, px), 255, np.uint8)
-    lo, hi = int(px * 0.3), int(px * 0.7)
-    mask[:, lo:hi, lo:hi] = 0
-    # true serving conditioning: T5 512 + Redux 729 tokens (BENCH_NOTES
-    # "the overhead is conditioning length")
-    embeds = jnp.asarray(rng.standard_normal((1, 1241, 4096)),
-                         jnp.bfloat16)
-    pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
-    if w8a8:
-        _common.set_int8_activations(True)
-    tag = ("w8a8" if w8a8 else "int8w") + \
-        (f"+vcache{vc}" if vc != 1 else "")
-    try:
-        t0 = time.perf_counter()
-        out = fp.fill_batch(bundle, image, mask, embeds, pooled,
-                            num_steps=steps, guidance=30.0, strength=0.9,
-                            seeds=[0], velocity_cache_interval=vc)
-        wall_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = fp.fill_batch(bundle, image, mask, embeds, pooled,
-                            num_steps=steps, guidance=30.0, strength=0.9,
-                            seeds=[0], velocity_cache_interval=vc)
-        wall = time.perf_counter() - t0
-    finally:
-        _common.set_int8_activations(False)
-    finite = bool(np.isfinite(out.astype(np.float32)).all())
-    return {"metric": f"flux-fill-{px}px-{steps}step-complete({tag})",
-            "value": round(wall, 2), "unit": "s/image",
-            "vs_baseline": round(wall, 2),
-            "first_call_incl_compile_s": round(wall_compile, 1),
-            "out_shape": list(out.shape), "outputs_finite": finite}
+    schedule = sched_mod.make_schedule(steps, image_seq_len=seq,
+                                       strength=0.9)
+    sigmas = jnp.asarray(schedule.sigmas)
+    tpath = _fillrun_path("timing.json")
+    timing = {}
+    if os.path.exists(tpath) and phase != "cond":
+        with open(tpath) as f:
+            timing = json.load(f)
+
+    if phase in ("cond", "decode"):
+        vae_params = _synth_bf16_tree(
+            lambda k: vae_mod.init(k, vae_cfg), 1)
+        if phase == "cond":
+            image = jnp.asarray(
+                rng.standard_normal((1, px, px, 3)), jnp.bfloat16)
+            mask = np.full((1, px, px), 1.0, np.float32)
+            lo, hi = int(px * 0.3), int(px * 0.7)
+            mask[:, lo:hi, lo:hi] = 0.0          # keep the center 40 %
+            mask = jnp.asarray(mask, jnp.bfloat16)
+            noise = jnp.asarray(
+                rng.standard_normal((1, seq, 64)), jnp.bfloat16)
+            t0 = time.perf_counter()
+            latents, cond = fp._fill_cond_jit(
+                vae_params, image, mask, noise, sigmas, vae_cfg, True,
+                96, 16)
+            _ = np.asarray(latents[0, :1, :1])
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            latents, cond = fp._fill_cond_jit(
+                vae_params, image, mask, noise, sigmas, vae_cfg, True,
+                96, 16)
+            _ = np.asarray(latents[0, :1, :1])
+            timing["cond_steady_s"] = round(time.perf_counter() - t0, 3)
+            timing["cond_first_s"] = round(first, 1)
+            np.savez(_fillrun_path("cond.npz"),
+                     latents=np.asarray(latents, np.float32),
+                     cond=np.asarray(cond, np.float32))
+        else:
+            toks = jnp.asarray(
+                np.load(_fillrun_path("toks.npz"))["toks"], jnp.bfloat16)
+            t0 = time.perf_counter()
+            out = fp._decode_tokens_jit(vae_params, toks, grid, grid,
+                                        vae_cfg, True, 96, 16)
+            _ = np.asarray(out[0, :1, :1, :1])
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = fp._decode_tokens_jit(vae_params, toks, grid, grid,
+                                        vae_cfg, True, 96, 16)
+            img = np.asarray(out, np.float32)
+            timing["decode_steady_s"] = round(
+                time.perf_counter() - t0, 3)
+            timing["decode_first_s"] = round(first, 1)
+            timing["outputs_finite"] = bool(np.isfinite(img).all())
+            timing["steady_total_s"] = round(
+                timing["cond_steady_s"] + timing["denoise_steady_s"]
+                + timing["decode_steady_s"], 3)
+    elif phase == "denoise":
+        d = np.load(_fillrun_path("cond.npz"))
+        latents = jnp.asarray(d["latents"], jnp.bfloat16)
+        cond = jnp.asarray(d["cond"], jnp.bfloat16)
+        embeds = jnp.asarray(rng.standard_normal((1, 1241, 4096)),
+                             jnp.bfloat16)
+        pooled = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+        cfg, params = build_full_int8(fill=True)
+        if w8a8:
+            _common.set_int8_activations(True)
+        try:
+            t0 = time.perf_counter()
+            toks = fp._fill_denoise_jit(
+                params, latents, cond, embeds, pooled, sigmas,
+                jnp.float32(30.0), cfg, grid, grid, "none/none", vc, 1)
+            _ = np.asarray(toks[0, :1, :1])
+            first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            toks = fp._fill_denoise_jit(
+                params, latents, cond, embeds, pooled, sigmas,
+                jnp.float32(30.0), cfg, grid, grid, "none/none", vc, 1)
+            _ = np.asarray(toks[0, :1, :1])
+            timing["denoise_steady_s"] = round(
+                time.perf_counter() - t0, 3)
+            timing["denoise_first_s"] = round(first, 1)
+            timing["denoise_steps"] = int(sigmas.shape[0]) - 1
+            np.savez(_fillrun_path("toks.npz"),
+                     toks=np.asarray(toks, np.float32))
+        finally:
+            _common.set_int8_activations(False)
+    else:
+        raise ValueError(f"unknown BENCH_FILLRUN_PHASE {phase!r}")
+    with open(tpath, "w") as f:
+        json.dump(timing, f)
+    return timing
 
 
 def bench_hires_fill(holder, cfg) -> dict:
